@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import ds_label, mentions, pairs as pairs_op
+from ..functions.features import make_em_features_udf, make_rm_features_udf
+from ..functions.hashing import h64
+from ..operators import ds_label, graphs, mentions, pairs as pairs_op, vocab
 from ..sources.catalog import Warehouse
 
 
@@ -80,6 +82,89 @@ class KGPipeline:
             return fwd.unionByName(rev)
         return self.wh.ensure("triples_ds", build, bucket_hint="conv_id")
 
+    # --------------------------------------------- features / vocab / graphs
+    def with_split(self, df: DataFrame) -> DataFrame:
+        """Deterministic 80/20 conv-level train/test split (hash, not rand)."""
+        return df.withColumn(
+            "is_test", F.pmod(h64(F.concat(F.col("conv_id"), F.lit("|split"))),
+                              F.lit(5)) == 0)
+
+    def rm_feature_rows(self, rm: DataFrame, sentences: DataFrame,
+                        brown: dict[str, str]) -> DataFrame:
+        """RM features F1-F12: join pairs back to sentence tokens/pos
+        (sentence-key equi-join, dense key), extract, explode."""
+        def build():
+            sent = sentences.select("conv_id", "turn_idx", "sent_idx",
+                                    "tokens", "pos")
+            j = rm.join(sent, on=["conv_id", "turn_idx", "sent_idx"])
+            udf = make_rm_features_udf(brown)
+            feats = j.withColumn(
+                "features",
+                udf("tokens", "pos", "em1Start", "em1End",
+                    "em2Start", "em2End", "numOfEMBetween"))
+            out = feats.select(
+                "conv_id", "mention_key", "labels",
+                F.explode(F.array_distinct("features")).alias("feature"))
+            return self.with_split(out)
+        return self.wh.ensure("rm_feature_rows", build, bucket_hint="mention_key")
+
+    def em_feature_rows(self, ems: DataFrame, sentences: DataFrame,
+                        brown: dict[str, str]) -> DataFrame:
+        """EM features F14-F22 (same join shape)."""
+        def build():
+            sent = sentences.select("conv_id", "turn_idx", "sent_idx",
+                                    "tokens", "pos")
+            j = ems.join(sent, on=["conv_id", "turn_idx", "sent_idx"])
+            udf = make_em_features_udf(brown)
+            feats = j.withColumn("features", udf("tokens", "pos", "start", "end"))
+            out = feats.select(
+                "conv_id", "mention_key", "labels",
+                F.explode(F.array_distinct("features")).alias("feature"))
+            return self.with_split(out)
+        return self.wh.ensure("em_feature_rows", build, bucket_hint="mention_key")
+
+    def graph_tables(self, feature_rows: DataFrame, prefix: str,
+                     neg_label_weight: float = 1.0) -> dict[str, DataFrame]:
+        """Vocab + the three bipartite graphs + train/test variants."""
+        train = feature_rows.where(~F.col("is_test"))
+        test = feature_rows.where(F.col("is_test"))
+
+        voc = self.wh.ensure(f"{prefix}_features",
+                             lambda: vocab.build_vocab(train))
+        mentions_lab = feature_rows.select(
+            "mention_key", "labels", "is_test").distinct()
+        types = self.wh.ensure(
+            f"{prefix}_types",
+            lambda: vocab.build_type_vocab(
+                mentions_lab.where(~F.col("is_test"))
+                .select("mention_key", F.explode("labels").alias("label")),
+            ))
+
+        mf_train = self.wh.ensure(
+            f"{prefix}_mention_feature",
+            lambda: graphs.mention_feature_graph(vocab.gate_to_vocab(train, voc)))
+        mf_test = self.wh.ensure(
+            f"{prefix}_mention_feature_test",
+            lambda: graphs.mention_feature_graph(vocab.gate_to_vocab(test, voc)))
+        mt_train = self.wh.ensure(
+            f"{prefix}_mention_type",
+            lambda: graphs.mention_type_graph(
+                mentions_lab.where(~F.col("is_test")), neg_label_weight))
+        mt_test = self.wh.ensure(
+            f"{prefix}_mention_type_test",
+            lambda: graphs.mention_type_graph(mentions_lab.where(F.col("is_test"))))
+        ft = self.wh.ensure(
+            f"{prefix}_feature_type",
+            lambda: graphs.feature_type_graph(mf_train, mt_train))
+        return {"features": voc, "types": types,
+                "mention_feature": mf_train, "mention_feature_test": mf_test,
+                "mention_type": mt_train, "mention_type_test": mt_test,
+                "feature_type": ft}
+
+    def triples_mention(self, rm: DataFrame) -> DataFrame:
+        return self.wh.ensure("triples_mention",
+                              lambda: graphs.rm_em_triples(rm))
+
     # ------------------------------------------------------------ full run
     def run(self, turns: DataFrame, aliases: DataFrame,
             facts: DataFrame) -> DataFrame:
@@ -88,3 +173,18 @@ class KGPipeline:
         e = self.entity_mentions(c, aliases)
         r = self.rm_pairs(e, facts)
         return self.triples_ds(r)
+
+    def run_graphs(self, turns: DataFrame, aliases: DataFrame,
+                   facts: DataFrame, brown: dict[str, str],
+                   neg_label_weight: float = 1.0) -> dict[str, DataFrame]:
+        """Full graph-construction DAG (SURVEY §7.2 step 4)."""
+        self.run(turns, aliases, facts)
+        s = self.wh.read("sentences")
+        e = self.wh.read("entity_mentions")
+        r = self.wh.read("rm_pairs")
+        rm_rows = self.rm_feature_rows(r, s, brown)
+        em_rows = self.em_feature_rows(e, s, brown)
+        out = {"rm": self.graph_tables(rm_rows, "rm", neg_label_weight),
+               "em": self.graph_tables(em_rows, "em", neg_label_weight)}
+        self.triples_mention(r)
+        return out

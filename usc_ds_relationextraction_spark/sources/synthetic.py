@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h64, h64_py, pick, u01
@@ -85,6 +85,13 @@ TEMPLATES: dict[int, list[tuple[str, str, str, bool]]] = {
         ("", " met ", " at the summit .", True),
     ],
 }
+# pair-bearing but relation-neutral templates: used when NO fact holds for
+# the drawn pair — the distant-supervision None class, learnable from text
+NEUTRAL: list[tuple[str, str, str, bool]] = [
+    ("", " and ", " attended the meeting .", True),
+    ("", " spoke with ", " yesterday .", True),
+    ("", " thanked ", " for the report .", True),
+]
 FILLER = [
     "the meeting ran long and nothing was decided .",
     "please summarize the previous discussion .",
@@ -92,6 +99,7 @@ FILLER = [
     "the report was filed on time .",
     "let me check the records for you .",
 ]
+KIND_REL = {0: REL_WORKS_AT, 1: REL_BORN_IN, 2: REL_BASED_IN, 3: REL_SPOUSE}
 
 
 def entity_index_global(kind: int, within: int) -> int:
@@ -142,9 +150,32 @@ def fact_rows() -> list[tuple[str, str, str]]:
             for o in objs:
                 if s[0] == o[0]:
                     continue
-                if h64_py(f"{SEED}|fact|{rel}|{s[0]}|{o[0]}") % 4 == 0:
+                if rel == REL_SPOUSE:
+                    # symmetric relation: one draw on the sorted pair,
+                    # both directions asserted
+                    a, b = min(s[0], o[0]), max(s[0], o[0])
+                    if s[0] != a:
+                        continue  # emit once per unordered pair
+                    if h64_py(f"{SEED}|fact|{rel}|{a}|{b}") % 4 == 0:
+                        out.append((a, b, rel))
+                        out.append((b, a, rel))
+                elif h64_py(f"{SEED}|fact|{rel}|{s[0]}|{o[0]}") % 4 == 0:
                     out.append((s[0], o[0], rel))
     return out
+
+
+def fact_exists_col(rel: Column, eid_a: Column, eid_b: Column,
+                    symmetric: bool) -> Column:
+    """Column-expression twin of the :func:`fact_rows` hash predicate —
+    lets the generator correlate surface templates with fact existence
+    (text states facts; non-fact pairs get NEUTRAL templates)."""
+    if symmetric:
+        a = F.least(eid_a, eid_b)
+        b = F.greatest(eid_a, eid_b)
+    else:
+        a, b = eid_a, eid_b
+    key = F.concat_ws("|", F.lit(str(SEED)), F.lit("fact"), rel, a, b)
+    return F.pmod(h64(key), F.lit(4)) == 0
 
 
 def kb_entities(spark: SparkSession) -> DataFrame:
@@ -286,16 +317,41 @@ def transcripts(spark: SparkSession, n_convs: int, seed: int = SEED) -> DataFram
         .join(F.broadcast(ents_b), sents.ent_b == ents_b.ord_b, "left").drop("ord_b")
     )
 
-    # template select: chained when() over (kind, tpl_idx)
-    tpl_idx = pick(skey, "tpl", 3)  # modded per-kind below
+    # fact-aware template selection: a relation-bearing template is used
+    # IFF the KB fact actually holds for the drawn pair (text states facts);
+    # otherwise a relation-neutral two-entity template → the DS None class
+    eid_a = F.format_string("e%03d", F.col("ent_a"))
+    eid_b = F.format_string("e%03d", F.col("ent_b"))
+    rel_for_kind = None
+    for kind, rel in KIND_REL.items():
+        c = F.when(F.col("kind") == kind, F.lit(rel))
+        rel_for_kind = c if rel_for_kind is None else rel_for_kind.when(
+            F.col("kind") == kind, F.lit(rel))
+    sents = sents.withColumn(
+        "has_fact",
+        F.when(F.col("kind") == 3,
+               fact_exists_col(F.lit(REL_SPOUSE), eid_a, eid_b, True))
+        .when(F.col("kind") < 4,
+              fact_exists_col(rel_for_kind, eid_a, eid_b, False))
+        .otherwise(F.lit(False)))
+
+    tpl_idx = pick(skey, "tpl", 3)  # modded per template-family below
     sentence = None
     for kind, tpls in TEMPLATES.items():
         for ti, (pre, mid, post, a_first) in enumerate(tpls):
             first = F.col("name_a") if a_first else F.col("name_b")
             second = F.col("name_b") if a_first else F.col("name_a")
             expr = F.concat(F.lit(pre), first, F.lit(mid), second, F.lit(post))
-            cond = (F.col("kind") == kind) & (F.pmod(tpl_idx, F.lit(len(tpls))) == ti)
-            sentence = F.when(cond, expr) if sentence is None else sentence.when(cond, expr)
+            cond = (F.col("kind") == kind) & F.col("has_fact") \
+                & (F.pmod(tpl_idx, F.lit(len(tpls))) == ti)
+            sentence = F.when(cond, expr) if sentence is None \
+                else sentence.when(cond, expr)
+    for ti, (pre, mid, post, a_first) in enumerate(NEUTRAL):
+        expr = F.concat(F.lit(pre), F.col("name_a"), F.lit(mid),
+                        F.col("name_b"), F.lit(post))
+        cond = (F.col("kind") < 4) & ~F.col("has_fact") \
+            & (F.pmod(tpl_idx, F.lit(len(NEUTRAL))) == ti)
+        sentence = sentence.when(cond, expr)
     filler = F.element_at(F.array(*[F.lit(x) for x in FILLER]),
                           pick(skey, "filler", len(FILLER)) + 1)
     sentence = sentence.otherwise(filler)
