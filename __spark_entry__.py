@@ -113,17 +113,18 @@ def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _labeled_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # union the (small) fact dimension into both directions and join ONCE:
+    # a union of two joins would evaluate the whole pair subtree twice
     p = _pairs_df(spark, sf_dir)
     facts = _fx(spark, sf_dir, "kb_facts")
-    fwd = p.join(F.broadcast(facts),
-                 (p.em1_entity == facts.subj_id)
-                 & (p.em2_entity == facts.obj_id)) \
-        .select(p["*"], F.col("relation"), F.lit("fwd").alias("direction"))
-    rev = p.join(F.broadcast(facts),
-                 (p.em2_entity == facts.subj_id)
-                 & (p.em1_entity == facts.obj_id)) \
-        .select(p["*"], F.col("relation"), F.lit("rev").alias("direction"))
-    return fwd.unionByName(rev)
+    both = facts.select(F.col("subj_id").alias("em1_entity"),
+                        F.col("obj_id").alias("em2_entity"),
+                        "relation", F.lit("fwd").alias("direction")) \
+        .unionByName(facts.select(
+            F.col("obj_id").alias("em1_entity"),
+            F.col("subj_id").alias("em2_entity"),
+            "relation", F.lit("rev").alias("direction")))
+    return p.join(F.broadcast(both), on=["em1_entity", "em2_entity"])
 
 
 # SQL building blocks shared by the pipeline oracles

@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Timing forces full materialization through the noop sink (no disk write,
+no driver collect).  Synthetic-fixture generation is excluded from timings
+(it is input preparation, done once and cached).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from usc_ds_relationextraction_spark.session import get_spark  # noqa: E402
+from usc_ds_relationextraction_spark.sources import synthetic as syn  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline set: the end-to-end KG extraction plus the hottest operator
+# families (scan+tokenize, shuffle agg, window sweep, dedup, similarity)
+HEADLINE = [
+    "triples_ds",
+    "p1_tokenize",
+    "np_chunk_mentions",
+    "p4_pair_generation",
+    "a3_cooccur_counts",
+    "w4_threshold_sweep",
+    "dedup_exact",
+    "sim_cosine_topk",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    sf = float(tag.replace("sf", "")) if tag.startswith("sf") else 0.1
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # prepare fixtures outside the timers, warm the JVM once
+    syn.ensure_fixtures(spark, SF_DIR)
+    qs = entrymod.queries()
+    force(qs["a4_weighted_degree"](spark, SF_DIR))  # warm-up
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        force(qs[name](spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    # throughput extras: triples/sec and turns/sec through the full path
+    n_triples = qs["triples_ds"](spark, SF_DIR).count()
+    n_turns = syn.load_transcripts(spark, SF_DIR).count()
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "kg_construction_headline_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": CPUS,
+        "n_turns": n_turns,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / max(times["triples_ds"], 1e-9), 1),
+        "turns_per_sec": round(n_turns / max(times["triples_ds"], 1e-9), 1),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
