@@ -443,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where("rk <= 5")
     Q["sim_cosine_topk"] = sim_cosine_topk
 
+    from usc_ds_relationextraction_spark.plans import extended_queries
+    Q.update(extended_queries.queries())
     return Q
 
 
@@ -672,4 +674,6 @@ FROM (
   FROM crossed
 ) WHERE rk <= 5
 """
+    from usc_ds_relationextraction_spark.plans import extended_queries
+    O.update(extended_queries.oracles())
     return O

@@ -1,0 +1,129 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything is a JVM column expression over whitespace tokens with integer
+outputs → exact DuckDB oracles and zero Python in the hot path.  (A BPE-ish
+regex tokenizer variant is included for token counting; it is a pure
+regexp_extract_all, still JVM-side.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64
+
+# closed stopword lists (public knowledge, tiny on purpose)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "a", "is", "that", "for", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des", "en", "du", "que"],
+    "de": ["der", "die", "und", "das", "in", "den", "von", "zu", "mit", "ist"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "不", "人", "这"],
+}
+LANGS = sorted(STOPWORDS)
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def _stop_count(toks: Column, words: list[str]) -> Column:
+    ws = tuple(words)
+
+    def is_stop(t: Column) -> Column:
+        return F.lower(t).isin(*ws)
+
+    return F.size(F.filter(toks, is_stop))
+
+
+def stopword_votes(toks: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts."""
+    return {lang: _stop_count(toks, words)
+            for lang, words in STOPWORDS.items()}
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax stopword votes; deterministic tie-break on language code;
+    'und' (undetermined) when no stopword hits at all."""
+    toks = ws_tokens(text_col)
+    votes = stopword_votes(toks)
+    best = F.greatest(*[votes[lg] for lg in LANGS])
+    pred = F.lit("und")
+    for lg in reversed(LANGS):  # earlier langs win ties → apply in reverse
+        pred = F.when(votes[lg] == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    sel = [F.col("doc_id"), pred.alias("lang_pred"),
+           best.cast("int").alias("best_votes")]
+    sel += [votes[lg].cast("int").alias(f"v_{lg}") for lg in LANGS]
+    return docs.select(*sel)
+
+
+def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer quality components + a composite milli-score.
+
+    score = 400*stop_ratio + 300*distinct_ratio + 200*len_ok + 100*punct_ok
+    (all ratios in milli-units, bounded — a simple, documented heuristic
+    in the Gopher/C4 filter family.)
+    """
+    toks = ws_tokens(text_col)
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    all_stop = None
+    for lg in LANGS:
+        v = stopword_votes(toks)[lg]
+        all_stop = v if all_stop is None else all_stop + v
+    n_punct = F.size(F.filter(toks, lambda t: ~t.rlike("[A-Za-z0-9]")))
+    sum_len = F.aggregate(toks, F.lit(0),
+                          lambda acc, t: acc + F.length(t))
+    # floor(double division): exact for these magnitudes and identical in
+    # DuckDB (Column has no // operator; integer `div` truncation would
+    # also work but floor-of-double keeps the SQL twins one-to-one)
+    stop_milli = F.when(n_tok > 0,
+                        F.floor(all_stop * 1000 / n_tok)).otherwise(0)
+    dist_milli = F.when(n_tok > 0,
+                        F.floor(n_distinct * 1000 / n_tok)).otherwise(0)
+    len_ok = ((n_tok >= 10) & (n_tok <= 1000)).cast("int")
+    punct_ok = F.when(n_tok > 0,
+                      (F.floor(n_punct * 1000 / n_tok) < 300).cast("int")
+                      ).otherwise(0)
+    score = (F.floor(stop_milli * 400 / 1000)
+             + F.floor(dist_milli * 300 / 1000)
+             + len_ok * 200 + punct_ok * 100)
+    return docs.select(
+        "doc_id", n_tok.cast("int").alias("n_tokens"),
+        n_distinct.cast("int").alias("n_distinct"),
+        all_stop.cast("int").alias("n_stop"),
+        n_punct.cast("int").alias("n_punct"),
+        sum_len.cast("int").alias("sum_tok_len"),
+        stop_milli.cast("bigint").alias("stop_milli"),
+        dist_milli.cast("bigint").alias("distinct_milli"),
+        score.cast("bigint").alias("quality_milli"))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts (token-budget accounting)."""
+    toks = ws_tokens(text_col)
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("ws_tokens"),
+        F.size(bpe).cast("int").alias("bpe_tokens"),
+        F.length(text_col).cast("int").alias("chars"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                k: int = 4, gram: int = 8) -> DataFrame:
+    """k-min document fingerprint over character n-grams (winnowing-lite;
+    reference analog: content signatures for dedup/lineage)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {gram - 1}, 1)),"
+        f" i -> substring({text_col}, i, {gram}))")
+    from ..operators.dedup import _salted_min
+    cols = [_salted_min(grams, f"|fp{j}").alias(f"fp{j}") for j in range(k)]
+    return docs.select("doc_id", *cols)

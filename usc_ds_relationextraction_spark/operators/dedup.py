@@ -1,0 +1,154 @@
+"""Deduplication operator family for large-scale training-data pipelines.
+
+All sketches are built from the engine-portable md5-derived hash
+(:mod:`..functions.hashing`) so every operator has an exact DuckDB oracle —
+and, more importantly at 100 TB, the signatures are reproducible across
+cluster sizes and resume boundaries.
+
+Operators:
+ - exact dedup: content-hash groupBy (one shuffle on a uniform key)
+ - MinHash: k per-permutation minima over word n-gram shingles, computed
+   entirely with JVM higher-order functions (transform/array_min) — no UDF,
+   no explode, narrow map only
+ - LSH banding: band hashes over signature slices → self-join on band
+   buckets → candidate pairs (the only shuffle; banded keys are uniform)
+ - SimHash: bit-majority over token hashes, again pure HOFs
+ - n-gram Jaccard verification: inverted-index join on shared shingles +
+   per-pair intersection counting (exact; used to verify LSH candidates)
+
+Scale notes: MinHash/SimHash are narrow (per-row) — they scale linearly.
+The LSH self-join shuffles on (band_idx, band_hash): uniformly distributed
+by construction, no salting needed.  The exact-Jaccard join explodes
+distinct shingles — at 100 TB you run it only on LSH candidates (the
+verify stage), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64
+
+DEFAULT_PERMS = 8
+DEFAULT_BANDS = 4  # rows-per-band = perms/bands
+
+
+def tokens_of(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (empty array when too short)."""
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _salted_min(sh: Column, salt: str) -> Column:
+    """CAUTION: HOF lambdas must take exactly the declared arity — an extra
+    default-arg parameter makes PySpark bind it to the element-index
+    column.  Close over the salt via this helper instead."""
+    def f(s: Column) -> Column:
+        return h64(F.concat(s, F.lit(salt)))
+    return F.coalesce(F.array_min(F.transform(sh, f)),
+                      F.lit(-1).cast("bigint"))
+
+
+def minhash_signature(sh: Column, perms: int = DEFAULT_PERMS) -> list[Column]:
+    """One min-hash per 'permutation' (salted portable hash)."""
+    return [_salted_min(sh, f"|mh{i}").alias(f"sig{i}") for i in range(perms)]
+
+
+def with_minhash(docs: DataFrame, text_col: str = "text",
+                 perms: int = DEFAULT_PERMS, ngram: int = 3) -> DataFrame:
+    sh = shingles(tokens_of(text_col), ngram)
+    return docs.select("doc_id", *[
+        c for c in minhash_signature(sh, perms)])
+
+
+def band_hashes(sig_df: DataFrame, perms: int = DEFAULT_PERMS,
+                bands: int = DEFAULT_BANDS) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — LSH bucketing rows."""
+    r = perms // bands
+    rows = []
+    for b in range(bands):
+        parts = [F.col(f"sig{b * r + j}").cast("string") for j in range(r)]
+        rows.append(sig_df.select(
+            "doc_id", F.lit(b).alias("band_idx"),
+            h64(F.concat_ws("_", *parts, F.lit(f"band{b}")))
+            .alias("band_hash")))
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                        perms: int = DEFAULT_PERMS,
+                        bands: int = DEFAULT_BANDS,
+                        ngram: int = 3) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band."""
+    sig = with_minhash(docs, text_col, perms, ngram)
+    bh = band_hashes(sig, perms, bands)
+    a = bh.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = bh.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    return (a.join(b, on=["band_idx", "band_hash"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """Bit-majority SimHash over whitespace tokens (multiset semantics —
+    repeated tokens vote repeatedly, like the classic Charikar sketch)."""
+    toks = tokens_of(text_col)
+
+    def vote_for(mask: int) -> Column:
+        def step(s: Column, t: Column) -> Column:
+            return s + F.when(h64(t).bitwiseAND(F.lit(mask)) > 0,
+                              F.lit(1)).otherwise(F.lit(-1))
+        return F.aggregate(toks, F.lit(0).cast("bigint"), step)
+
+    acc = None
+    for b in range(bits):
+        bit = F.when(vote_for(1 << b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        acc = bit if acc is None else acc + bit
+    return docs.select("doc_id", acc.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        ngram: int = 3,
+                        min_jaccard_milli: int = 200) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index join.
+
+    Output jaccard scaled to integer milli-units (portable).  At scale this
+    runs on LSH candidates only; here (driver correctness tier) all-pairs
+    via shared-shingle blocking is fine.
+    """
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens_of(text_col), ngram)))
+        .alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (a.join(b, on="sh").where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = inter.join(na, on="doc_a").join(nb, on="doc_b")
+    out = j.select("doc_a", "doc_b",
+                   F.expr("inter * 1000 div (na + nb - inter)")
+                   .alias("jaccard_milli"))
+    return out.where(F.col("jaccard_milli") >= min_jaccard_milli)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.groupBy(F.md5(text_col).alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_dups"))

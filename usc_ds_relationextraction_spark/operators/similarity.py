@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+ - **Brute-force top-k** (the correctness baseline): integer-quantized dot
+   product (floor(x*1000+0.5)) so scores are exact integers — identical in
+   Spark and DuckDB, immune to float summation order.  Cross join + window
+   top-k.  At 100 TB you only run this on a candidate subset.
+ - **Random-hyperplane LSH** (the scale path): H sign-bits against
+   hash-derived integer hyperplanes → bucket id; ANN = brute-force within
+   bucket.  Hyperplanes are pure functions of (plane, component) hashes —
+   no stored model, reproducible anywhere.
+
+The 64-dim hyperplanes are generated as integers in [-1000, 1000] from the
+portable hash, so bucket assignment is again exact integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64_py
+
+
+def quantized(col: Column | str, scale: int = 1000) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("bigint"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def hyperplane(plane: int, dim: int) -> list[int]:
+    """Deterministic integer hyperplane components in [-1000, 1000]."""
+    return [h64_py(f"plane|{plane}|{c}") % 2001 - 1000 for c in range(dim)]
+
+
+def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Top-k neighbors by quantized dot for the first ``n_queries`` ids."""
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      quantized(vec_col).alias("q"))
+    qs = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
+    crossed = qs.crossJoin(base.withColumnRenamed("vec_id", "nn_id")) \
+        .where(F.col("query_id") != F.col("nn_id"))
+    scored = crossed.select(
+        "query_id", "nn_id",
+        int_dot(F.col("qq"), F.col("q")).alias("qdot"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.col("nn_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("int")) \
+        .where(F.col("rk") <= k)
+
+
+def lsh_buckets(emb: DataFrame, dim: int, planes: int = 8,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, bucket) — sign pattern over `planes` integer hyperplanes."""
+    q = quantized(vec_col)
+    bucket = None
+    for p in range(planes):
+        hp = hyperplane(p, dim)
+        dot = F.aggregate(
+            F.zip_with(q, F.array(*[F.lit(v).cast("bigint") for v in hp]),
+                       lambda x, y: x * y),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      bucket.cast("int").alias("bucket"))
+
+
+def ann_topk_via_lsh(emb: DataFrame, dim: int, n_queries: int = 10,
+                     k: int = 5, planes: int = 6,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """ANN: brute-force ONLY within the query's LSH bucket (the scale path:
+    the crossJoin shrinks from |N| to |bucket| per query)."""
+    b = lsh_buckets(emb, dim, planes, id_col, vec_col)
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      quantized(vec_col).alias("q")) \
+        .join(b, on="vec_id")
+    qs = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), "bucket")
+    cand = qs.join(base.withColumnRenamed("vec_id", "nn_id"), on="bucket") \
+        .where(F.col("query_id") != F.col("nn_id"))
+    scored = cand.select("query_id", "nn_id",
+                         int_dot(F.col("qq"), F.col("q")).alias("qdot"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.col("nn_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("int")) \
+        .where(F.col("rk") <= k)
+
+
+def label_centroids(emb: DataFrame, dim: int, out_dims: int = 4,
+                    vec_col: str = "embedding") -> DataFrame:
+    """A9 double: per-label mean embedding, integer-milli components."""
+    q = quantized(vec_col)
+    e = emb.select("label", q.alias("q"))
+    aggs = [F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(out_dims)]
+    g = e.groupBy("label").agg(F.count("*").alias("n"), *aggs)
+    cols = [F.floor(F.col(f"s{i}") * 1000.0 / F.col("n")).cast("bigint")
+            .alias(f"c{i}") for i in range(out_dims)]
+    return g.select("label", "n", *cols)
+
+
+def centroid_assign(emb: DataFrame, dim: int,
+                    vec_col: str = "embedding") -> DataFrame:
+    """J7 double: assign each vector to the argmax-dot label centroid."""
+    q = quantized(vec_col)
+    e = emb.select("vec_id", "label", q.alias("q"))
+    aggs = [F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)]
+    g = e.groupBy("label").agg(F.count("*").alias("n"), *aggs)
+    cent = g.select(
+        F.col("label").alias("c_label"),
+        F.array(*[F.floor(F.col(f"s{i}") * 1000.0 / F.col("n"))
+                  .cast("bigint") for i in range(dim)]).alias("cvec"))
+    crossed = e.crossJoin(F.broadcast(cent))
+    scored = crossed.select(
+        "vec_id", "label", "c_label",
+        int_dot(F.col("q"), F.col("cvec")).alias("qdot"))
+    # argmax with deterministic tie-break on label
+    w = Window.partitionBy("vec_id").orderBy(F.desc("qdot"), F.col("c_label"))
+    return scored.withColumn("rk", F.row_number().over(w)) \
+        .where("rk = 1") \
+        .select("vec_id", "label",
+                F.col("c_label").alias("assigned_label"), "qdot")

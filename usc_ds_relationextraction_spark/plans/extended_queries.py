@@ -1,0 +1,304 @@
+"""Extended driver-contract queries: dedup, similarity/ANN, text analysis,
+multimodal — each Spark implementation paired with a generated DuckDB
+oracle over the same tables (integer/portable-hash arithmetic only).
+
+Merged into ``__spark_entry__.queries()`` / ``oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_analysis import (BPE_RE, LANGS, STOPWORDS,
+                                       fingerprint, lang_id,
+                                       quality_metrics, token_counts)
+from ..operators import dedup, multimodal, similarity
+
+EMB_DIM = 64
+N_BITS_SIMHASH = 16
+N_PLANES = 6
+
+
+def _h_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::bigint)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------- queries
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    Q["dedup_minhash"] = lambda s, sf: dedup.with_minhash(
+        _t(s, sf, "documents"))
+    Q["dedup_minhash_pairs"] = lambda s, sf: dedup.lsh_candidate_pairs(
+        _t(s, sf, "documents"))
+    Q["dedup_simhash"] = lambda s, sf: dedup.simhash(
+        _t(s, sf, "documents"), bits=N_BITS_SIMHASH)
+    Q["dedup_ngram_jaccard"] = lambda s, sf: dedup.ngram_jaccard_pairs(
+        _t(s, sf, "documents"), min_jaccard_milli=200)
+    Q["text_langid"] = lambda s, sf: lang_id(_t(s, sf, "documents"))
+    Q["text_quality"] = lambda s, sf: quality_metrics(_t(s, sf, "documents"))
+    Q["text_token_counts"] = lambda s, sf: token_counts(
+        _t(s, sf, "documents"))
+    Q["doc_fingerprint"] = lambda s, sf: fingerprint(_t(s, sf, "documents"))
+    Q["ann_lsh_buckets"] = lambda s, sf: similarity.lsh_buckets(
+        _t(s, sf, "embeddings"), EMB_DIM, planes=N_PLANES)
+    Q["ann_topk_lsh"] = lambda s, sf: similarity.ann_topk_via_lsh(
+        _t(s, sf, "embeddings"), EMB_DIM, planes=N_PLANES)
+    Q["a9_label_centroids"] = lambda s, sf: similarity.label_centroids(
+        _t(s, sf, "embeddings"), EMB_DIM)
+    Q["j7_centroid_assign"] = lambda s, sf: similarity.centroid_assign(
+        _t(s, sf, "embeddings"), EMB_DIM)
+    Q["mm_binary_stats"] = lambda s, sf: multimodal.ingest_binary(
+        _t(s, sf, "documents")).select("doc_id", "media_type", "n_bytes")
+    # stubbed codec → rows-only check (no SQL oracle by design)
+    Q["mm_decode_features"] = lambda s, sf: multimodal.decode_features(
+        multimodal.ingest_binary(_t(s, sf, "documents")))
+    return Q
+
+
+# ---------------------------------------------------------------- oracles
+def _sql_doc_toks() -> str:
+    return ("doc_toks AS (SELECT doc_id, list_filter(string_split(text, ' '),"
+            " t -> t <> '') AS toks FROM documents)")
+
+
+def _sql_shingles() -> str:
+    tri = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+    return (f"{_sql_doc_toks()},\n"
+            "sh_lists AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+            f"list_transform(generate_series(1, len(toks) - 2), i -> {tri}) "
+            "ELSE CAST([] AS VARCHAR[]) END AS sh FROM doc_toks)")
+
+
+def _sql_minhash_sigs() -> str:
+    parts = []
+    for i in range(dedup.DEFAULT_PERMS):
+        h = _h_sql(f"s || '|mh{i}'")
+        parts.append(f"coalesce(list_min(list_transform(sh, s -> "
+                     f"{h})), -1) AS sig{i}")
+    sigs = ",\n       ".join(parts)
+    return (f"{_sql_shingles()},\n"
+            f"sigs AS (SELECT doc_id,\n       {sigs}\n  FROM sh_lists)")
+
+
+def oracles() -> dict[str, str]:
+    O: dict[str, str] = {}
+
+    O["dedup_minhash"] = f"WITH {_sql_minhash_sigs()}\nSELECT * FROM sigs"
+
+    r = dedup.DEFAULT_PERMS // dedup.DEFAULT_BANDS
+    band_rows = []
+    for b in range(dedup.DEFAULT_BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(sig{b * r + j} AS VARCHAR)" for j in range(r))
+        h = _h_sql(f"{parts} || '_band{b}'")
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sigs")
+    bands = "\nUNION ALL\n".join(band_rows)
+    O["dedup_minhash_pairs"] = f"""WITH {_sql_minhash_sigs()},
+bands AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+"""
+
+    votes = []
+    for b in range(N_BITS_SIMHASH):
+        votes.append(
+            f"CASE WHEN coalesce(list_sum(list_transform(toks, t -> "
+            f"CASE WHEN ({_h_sql('t')} & {1 << b}) > 0 THEN 1 ELSE -1 END"
+            f")), 0) > 0 THEN {1 << b} ELSE 0 END")
+    O["dedup_simhash"] = f"""WITH {_sql_doc_toks()}
+SELECT doc_id, CAST({' + '.join(votes)} AS BIGINT) AS simhash FROM doc_toks
+"""
+
+    O["dedup_ngram_jaccard"] = f"""WITH {_sql_shingles()},
+sh AS (SELECT DISTINCT doc_id, s FROM sh_lists, UNNEST(sh) AS u(s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, i * 1000 // (na.n + nb.n - i) AS jaccard_milli
+FROM inter JOIN sizes na ON doc_a = na.doc_id
+           JOIN sizes nb ON doc_b = nb.doc_id
+WHERE i * 1000 // (na.n + nb.n - i) >= 200
+"""
+
+    vote_exprs = []
+    for lg in LANGS:
+        ws = ", ".join(f"'{w}'" for w in STOPWORDS[lg])
+        vote_exprs.append(
+            f"CAST(len(list_filter(toks, t -> lower(t) IN ({ws}))) AS INT)"
+            f" AS v_{lg}")
+    case_pred = " ".join(
+        f"WHEN v_{lg} = best THEN '{lg}'" for lg in LANGS)
+    O["text_langid"] = f"""WITH {_sql_doc_toks()},
+v AS (SELECT doc_id, {', '.join(vote_exprs)} FROM doc_toks),
+m AS (SELECT *, greatest({', '.join('v_' + lg for lg in LANGS)}) AS best
+      FROM v)
+SELECT doc_id,
+       CASE WHEN best > 0 THEN (CASE {case_pred} END) ELSE 'und' END
+         AS lang_pred,
+       CAST(best AS INT) AS best_votes,
+       {', '.join('v_' + lg for lg in LANGS)}
+FROM m
+"""
+
+    all_stop = " + ".join(
+        f"len(list_filter(toks, t -> lower(t) IN "
+        f"({', '.join(chr(39) + w + chr(39) for w in STOPWORDS[lg])})))"
+        for lg in LANGS)
+    O["text_quality"] = f"""WITH {_sql_doc_toks()},
+base AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         len(list_distinct(toks)) AS n_distinct,
+         ({all_stop}) AS n_stop,
+         len(list_filter(toks, t -> NOT regexp_matches(t, '[A-Za-z0-9]')))
+           AS n_punct,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+           AS sum_tok_len
+  FROM doc_toks
+),
+m AS (
+  SELECT *,
+    CASE WHEN n_tok > 0 THEN floor(n_stop * 1000 / n_tok) ELSE 0 END
+      AS stop_milli,
+    CASE WHEN n_tok > 0 THEN floor(n_distinct * 1000 / n_tok) ELSE 0 END
+      AS distinct_milli,
+    CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1 ELSE 0 END AS len_ok,
+    CASE WHEN n_tok > 0 AND floor(n_punct * 1000 / n_tok) < 300
+         THEN 1 ELSE 0 END AS punct_ok
+  FROM base
+)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+       CAST(n_distinct AS INT) AS n_distinct,
+       CAST(n_stop AS INT) AS n_stop, CAST(n_punct AS INT) AS n_punct,
+       CAST(sum_tok_len AS INT) AS sum_tok_len,
+       CAST(stop_milli AS BIGINT) AS stop_milli,
+       CAST(distinct_milli AS BIGINT) AS distinct_milli,
+       CAST(floor(stop_milli * 400 / 1000) + floor(distinct_milli * 300 / 1000)
+            + len_ok * 200 + punct_ok * 100 AS BIGINT) AS quality_milli
+FROM m
+"""
+
+    O["text_token_counts"] = f"""WITH {_sql_doc_toks()}
+SELECT d.doc_id,
+       CAST(len(t.toks) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(d.text, '{BPE_RE}')) AS INT)
+         AS bpe_tokens,
+       CAST(length(d.text) AS INT) AS chars
+FROM documents d JOIN doc_toks t ON d.doc_id = t.doc_id
+"""
+
+    fp_parts = []
+    for j in range(4):
+        h = _h_sql(f"g || '|fp{j}'")
+        fp_parts.append(f"coalesce(list_min(list_transform(grams, g -> "
+                        f"{h})), -1) AS fp{j}")
+    fps = ",\n       ".join(fp_parts)
+    O["doc_fingerprint"] = f"""WITH grams_t AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+                        i -> substr(text, i, 8)) AS grams
+  FROM documents
+)
+SELECT doc_id,
+       {fps}
+FROM grams_t
+"""
+
+    qexpr = ("list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+             "* 1000 + 0.5) AS BIGINT))")
+
+    def plane_dot(p: int) -> str:
+        hp = similarity.hyperplane(p, EMB_DIM)
+        lst = "[" + ", ".join(str(v) for v in hp) + "]"
+        return (f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+                f"i -> q[i] * ({lst})[i]))")
+
+    bucket = " + ".join(
+        f"CASE WHEN {plane_dot(p)} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(N_PLANES))
+    O["ann_lsh_buckets"] = f"""WITH base AS (
+  SELECT vec_id, {qexpr} AS q FROM embeddings
+)
+SELECT vec_id, CAST({bucket} AS INT) AS bucket FROM base
+"""
+
+    O["ann_topk_lsh"] = f"""WITH base0 AS (
+  SELECT vec_id, {qexpr} AS q FROM embeddings
+),
+base AS (
+  SELECT vec_id, q, CAST({bucket} AS INT) AS bucket FROM base0
+),
+qs AS (
+  SELECT vec_id AS query_id, q AS qq, bucket FROM base WHERE vec_id < 10
+),
+cand AS (
+  SELECT qs.query_id, b.vec_id AS nn_id,
+         list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                                 i -> qs.qq[i] * b.q[i])) AS qdot
+  FROM qs JOIN base b ON qs.bucket = b.bucket AND qs.query_id <> b.vec_id
+)
+SELECT query_id, nn_id, qdot, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qdot DESC, nn_id) AS rk
+  FROM cand
+) WHERE rk <= 5
+"""
+
+    sums4 = ", ".join(f"SUM(q[{i + 1}]) AS s{i}" for i in range(4))
+    cents4 = ", ".join(
+        f"CAST(floor(s{i} * 1000.0 / n) AS BIGINT) AS c{i}" for i in range(4))
+    O["a9_label_centroids"] = f"""WITH base AS (
+  SELECT label, {qexpr} AS q FROM embeddings
+),
+g AS (SELECT label, COUNT(*) AS n, {sums4} FROM base GROUP BY label)
+SELECT label, n, {cents4} FROM g
+"""
+
+    sums64 = ", ".join(f"SUM(q[{i + 1}]) AS s{i}" for i in range(EMB_DIM))
+    clist = "[" + ", ".join(
+        f"CAST(floor(s{i} * 1000.0 / n) AS BIGINT)"
+        for i in range(EMB_DIM)) + "]"
+    O["j7_centroid_assign"] = f"""WITH base AS (
+  SELECT vec_id, label, {qexpr} AS q FROM embeddings
+),
+g AS (SELECT label AS c_label, COUNT(*) AS n, {sums64}
+      FROM base GROUP BY label),
+cent AS (SELECT c_label, {clist} AS cvec FROM g),
+scored AS (
+  SELECT b.vec_id, b.label, c.c_label,
+         list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                                 i -> b.q[i] * c.cvec[i])) AS qdot
+  FROM base b CROSS JOIN cent c
+)
+SELECT vec_id, label, c_label AS assigned_label, qdot FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY qdot DESC, c_label) AS rk
+  FROM scored
+) WHERE rk = 1
+"""
+
+    O["mm_binary_stats"] = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+       CAST(strlen(text) AS INT) AS n_bytes
+FROM documents
+"""
+    return O
