@@ -188,3 +188,51 @@ class KGPipeline:
                "em": self.graph_tables(em_rows, "em", neg_label_weight)}
         self.triples_mention(r)
         return out
+
+    # ------------------------------------------------- learned inference
+    def run_learned(self, turns: DataFrame, aliases: DataFrame,
+                    facts: DataFrame, brown: dict[str, str],
+                    epochs: int = 40, lr: float = 0.25,
+                    sim: str = "cosine", threshold: float | None = None,
+                    joint: bool = False) -> dict:
+        """§7.2 steps 5-7: train embeddings, predict types for the test
+        split, tune the threshold on the sweep, materialize learned triples
+        (convertPredictionToJson semantics), evaluate P/R/F1."""
+        from ..functions.hashing import h64_py
+        from . import evaluation as ev
+        from . import inference as inf
+        from .training import CoTypeJointTrainer, CoTypeRMTrainer
+
+        g = self.run_graphs(turns, aliases, facts, brown)
+        rm = g["rm"]
+        if joint:
+            trainer = CoTypeJointTrainer(self.spark, self.wh, "rm", lr=lr)
+            embs = trainer.train(rm["mention_feature"], rm["feature_type"],
+                                 rm["mention_type"],
+                                 self.wh.read("triples_mention"),
+                                 epochs=epochs)
+        else:
+            trainer = CoTypeRMTrainer(self.spark, self.wh, "rm", lr=lr)
+            embs = trainer.train(rm["mention_feature"], rm["feature_type"],
+                                 rm["mention_type"], epochs=epochs)
+        none_id = h64_py("None")
+        gt = rm["mention_type_test"].select("mention_id", "type_id")
+        me = inf.mention_embeddings(rm["mention_feature_test"],
+                                    embs["feature"])
+        scored = inf.score_types(self.spark, me, embs["type"], sim, none_id)
+        normalized = inf.min_max_normalize(scored).localCheckpoint()
+        sweep = ev.sweep_thresholds(normalized, gt, none_id)
+        best = ev.best_threshold(sweep)
+        theta = threshold if threshold is not None else best["theta"]
+        preds = normalized.where(F.col("score_norm") > theta).select(
+            "mention_id", "type_id", F.col("score_norm").alias("score"))
+        metrics = ev.evaluate_rm_neg(preds.select("mention_id", "type_id"),
+                                     gt, none_id)
+        rm_pairs = self.wh.read("rm_pairs").withColumn(
+            "is_test", F.pmod(h64(F.concat(F.col("conv_id"),
+                                           F.lit("|split"))), F.lit(5)) == 0
+        ).where("is_test")
+        triples = inf.materialize_triples(preds, rm_pairs, rm["types"])
+        triples = self.wh.write("triples_learned", triples)
+        return {"embs": embs, "best": best, "theta": theta,
+                "metrics": metrics, "triples": triples}

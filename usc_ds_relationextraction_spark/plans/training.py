@@ -40,7 +40,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h64
@@ -379,6 +379,241 @@ class CoTypeRMTrainer:
                                          f_ids, F_mat, y_ids, Y_mat)
             if verbose:
                 print(f"[train {self.prefix}] epoch {epoch} lr={lr:.5f} "
+                      f"wall={_time.time() - _t0:.1f}s", flush=True)
+
+        return {"mention": emb_m,
+                "feature": self._matrix_df(f_ids, F_mat),
+                "type": self._matrix_df(y_ids, Y_mat)}
+
+
+# ---------------------------------------------------------------- joint mode
+def transe_step(triples_with_vecs: DataFrame, epoch: int) -> DataFrame:
+    """TransE BCD pass (M3, hplelib.cpp:723-768,913-963).
+
+    Input rows: (h_id, t_id, r_id, h_vec, t_vec, r_vec, tc_id, tc_vec)
+    where tc is the deterministically-paired corrupted tail (already
+    filtered against observed triples — the J10 left-anti).  Margin-1
+    sign-gradient on ‖h+r−t‖₁ vs ‖h+r−tc‖₁; all touched rows are emitted
+    for the BCD apply, and the caller projects them to the unit ball
+    (the reference projects after each update, hplelib.cpp:746-767).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            H = np.stack(b["h_vec"].values).astype(np.float64)
+            T = np.stack(b["t_vec"].values).astype(np.float64)
+            R = np.stack(b["r_vec"].values).astype(np.float64)
+            TC = np.stack(b["tc_vec"].values).astype(np.float64)
+            d_pos = H + R - T
+            d_neg = H + R - TC
+            s_pos = np.abs(d_pos).sum(axis=1)
+            s_neg = np.abs(d_neg).sum(axis=1)
+            viol = s_pos + 1.0 > s_neg  # margin 1 (hplelib.cpp:934)
+            if not viol.any():
+                continue
+            sp = np.sign(d_pos[viol])
+            sn = np.sign(d_neg[viol])
+            rows = []
+            for ids, grads in (
+                (b["h_id"].values[viol], -sp + sn),
+                (b["t_id"].values[viol], sp),
+                (b["r_id"].values[viol], -sp + sn),
+                (b["tc_id"].values[viol], -sn),
+            ):
+                rows.append(pd.DataFrame({
+                    "node_set": "mention", "node_id": ids.astype(np.int64),
+                    "grad": list(grads),
+                    "cnt": np.ones(viol.sum())}))
+            yield pd.concat(rows, ignore_index=True)
+
+    return triples_with_vecs.mapInPandas(run, schema=GRAD_SCHEMA)
+
+
+def corrupted_triples_simple(triples: DataFrame, epoch: int,
+                             n_buckets: int = 64) -> DataFrame:
+    """Simpler deterministic corruption: shift pairing via double window."""
+    key = F.concat_ws("|", F.col("h_id"), F.col("t_id"), F.col("r_id"),
+                      F.lit(str(epoch)))
+    t = triples.withColumn("bucket", F.pmod(h64(key), F.lit(n_buckets)))
+    w = Window.partitionBy("bucket").orderBy(h64(F.concat_ws(
+        "#", F.col("h_id"), F.col("t_id"), F.col("r_id"), F.lit(str(epoch)))))
+    t = t.withColumn("rn", F.row_number().over(w))
+    shifted = t.select(F.col("bucket").alias("bucket_s"),
+                       F.col("rn").alias("rn_s"),
+                       F.col("t_id").alias("tc_id"))
+    n_per = t.groupBy("bucket").agg(F.count("*").alias("nb"))
+    t = t.join(n_per, on="bucket").withColumn(
+        "rn_next", F.col("rn") % F.col("nb") + 1)
+    paired = t.join(shifted, (F.col("bucket") == F.col("bucket_s")) &
+                    (F.col("rn_next") == F.col("rn_s"))) \
+        .select("h_id", "t_id", "r_id", "tc_id") \
+        .where(F.col("tc_id") != F.col("t_id"))
+    # J10: corrupted triple must not be observed
+    obs = triples.select(F.col("h_id"), F.col("t_id").alias("tc_id"),
+                         F.col("r_id"))
+    return paired.join(obs, on=["h_id", "tc_id", "r_id"], how="left_anti")
+
+
+class CoTypeJointTrainer(CoTypeRMTrainer):
+    """Joint mode (M1-M5): CoType-RM objectives + TransE coupling over the
+    (em1, em2, rm) mention-triple table (retype.cpp mode 'j').
+
+    EM and RM mention ids share one distributed embedding table (disjoint
+    hash id spaces); TransE is the only objective touching EM rows here —
+    the em-side feature nets run as a separate CoTypeRMTrainer('em') when
+    full parity is needed.  Objective mixing: the reference alias-samples
+    {1,1,transWeight} (retype.cpp:183-186); BCD runs every objective every
+    epoch — transWeight folds into the gradient scale.
+    """
+
+    def __init__(self, *args, trans_weight: float = 1.0, **kw):
+        super().__init__(*args, **kw)
+        self.trans_weight = trans_weight
+
+    def train(self, mention_feature: DataFrame, feature_type: DataFrame,
+              mention_type: DataFrame, triples: DataFrame | None = None,
+              epochs: int = 50, resume: bool = True,
+              verbose: bool = False) -> dict[str, DataFrame]:
+        if triples is None:
+            return super().train(mention_feature, feature_type,
+                                 mention_type, epochs, resume, verbose)
+        self._triples = triples.select(
+            F.col("em1_id").alias("h_id"), F.col("em2_id").alias("t_id"),
+            F.col("rm_id").alias("r_id")).localCheckpoint(eager=True)
+        # widen the mention id space: EM ids enter via the triple table
+        extra = self._triples.select(F.col("h_id").alias("mention_id")) \
+            .union(self._triples.select("t_id")) \
+            .union(self._triples.select("r_id")).distinct()
+        mf_ids = mention_feature.select("mention_id").distinct()
+        self._all_mentions = mf_ids.union(extra).distinct()
+        return self._train_joint(mention_feature, feature_type,
+                                 mention_type, epochs, resume, verbose)
+
+    def _train_joint(self, mention_feature, feature_type, mention_type,
+                     epochs, resume, verbose):
+        """Same epoch loop as the base class plus a TransE pass whose
+        gradients merge into the one BCD apply."""
+        import time as _time
+        spark, dim = self.spark, self.dim
+        sc = spark.sparkContext
+
+        f_ids = np.sort(np.array(
+            [r["feature_id"] for r in mention_feature.select("feature_id")
+             .union(feature_type.select("feature_id")).distinct().collect()],
+            dtype=np.int64))
+        y_ids = np.sort(np.array(
+            [r["type_id"] for r in mention_type.select("type_id")
+             .union(feature_type.select("type_id")).distinct().collect()],
+            dtype=np.int64))
+        f_i2r = {int(i): r for r, i in enumerate(f_ids)}
+        y_i2r = {int(i): r for r, i in enumerate(y_ids)}
+
+        emb_m = init_embeddings(self._all_mentions, "mention_id", dim, "m")
+        F_mat = init_matrix(f_ids, dim, "f")
+        Y_mat = init_matrix(y_ids, dim, "y")
+
+        def neg_table(graph, col):
+            rows = graph.groupBy(col).agg(F.sum("w").alias("d")) \
+                .orderBy(col).collect()
+            ids = np.array([r[col] for r in rows], dtype=np.int64)
+            w = np.array([r["d"] for r in rows], dtype=np.float64) ** 0.75
+            cum = np.cumsum(w)
+            return ids, cum / cum[-1]
+
+        neg_f = neg_table(mention_feature, "feature_id")
+        neg_y = neg_table(feature_type, "type_id")
+
+        mf = mention_feature.select(
+            F.lit(0).alias("kind"), F.col("mention_id").alias("u_id"),
+            F.col("feature_id").alias("v_id"), "w",
+            F.lit(None).cast("array<long>").alias("cand_ids"))
+        fy = feature_type.select(
+            F.lit(1).alias("kind"), F.col("feature_id").alias("u_id"),
+            F.col("type_id").alias("v_id"), "w",
+            F.lit(None).cast("array<long>").alias("cand_ids"))
+        cand = (mention_type.groupBy("mention_id")
+                .agg(F.collect_list("type_id").alias("cand_ids"))
+                .select(F.lit(2).alias("kind"),
+                        F.col("mention_id").alias("u_id"),
+                        F.lit(0).cast("long").alias("v_id"),
+                        F.lit(1.0).alias("w"), "cand_ids"))
+        m_edges = mf.unionByName(cand) \
+            .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                         "u_id").localCheckpoint(eager=True)
+        fy = fy.localCheckpoint(eager=True)
+        ab = [self.wh.path(self._name("mention_a")),
+              self.wh.path(self._name("mention_b"))]
+        emb_m.write.mode("overwrite").parquet(ab[0])
+        emb_m = spark.read.parquet(ab[0])
+
+        for epoch in range(epochs):
+            _t0 = _time.time()
+            lr = max(self.lr0 * (1.0 - epoch / float(epochs)),
+                     self.lr0 * 1e-4)
+            bcast = sc.broadcast((f_i2r, F_mat, neg_f, y_i2r, Y_mat,
+                                  neg_y, y_ids))
+            m_named = emb_m.select(F.col("id").alias("u_id"),
+                                   F.col("vec").alias("u_vec"))
+            with_vec = m_edges.join(m_named, on="u_id", how="left") \
+                .unionByName(fy.withColumn(
+                    "u_vec", F.lit(None).cast("array<float>")))
+            g_base = unified_grad_step(with_vec, bcast, epoch,
+                                       self.negatives, self.alpha)
+
+            # TransE pass: corrupt, join the four vectors, sign-grad
+            ct = corrupted_triples_simple(self._triples, epoch)
+            mv = emb_m
+            tw = ct
+            for cid, vname in (("h_id", "h_vec"), ("t_id", "t_vec"),
+                               ("r_id", "r_vec"), ("tc_id", "tc_vec")):
+                mv_r = mv.select(F.col("id").alias(cid),
+                                 F.col("vec").alias(vname))
+                tw = tw.join(mv_r, on=cid)
+            g_tr = transe_step(tw, epoch)
+            if self.trans_weight != 1.0:
+                g_tr = g_tr.withColumn(
+                    "grad", F.transform(
+                        "grad", lambda x: x * F.lit(self.trans_weight)))
+
+            agg = _agg_grads(g_base.unionByName(g_tr), dim) \
+                .localCheckpoint(eager=True)
+            for r in agg.where(
+                    F.col("node_set").isin("feature", "type")).collect():
+                tgt, i2r = ((F_mat, f_i2r) if r["node_set"] == "feature"
+                            else (Y_mat, y_i2r))
+                row = i2r.get(r["node_id"])
+                if row is not None:
+                    tgt[row] += lr * np.asarray(r["grad"]) / r["cnt"]
+
+            mg = agg.where(F.col("node_set") == "mention") \
+                .select(F.col("node_id").alias("id"), "grad", "cnt")
+            new_m = emb_m.join(mg, on="id", how="left").select(
+                "id",
+                F.when(F.col("grad").isNotNull(),
+                       F.zip_with("vec", "grad",
+                                  lambda v, gr: (v + F.lit(lr) * gr
+                                                 / F.col("cnt")).cast("float")))
+                .otherwise(F.col("vec")).alias("vec"))
+            # unit-ball projection (hplelib.cpp:746-767): L2 norm > 1 → /norm
+            norm = F.sqrt(F.aggregate(
+                "vec", F.lit(0.0), lambda acc, x: acc + x * x))
+            new_m = new_m.select(
+                "id",
+                F.when(norm > 1.0,
+                       F.transform("vec", lambda x: (x / norm).cast("float")))
+                .otherwise(F.col("vec")).alias("vec"))
+            tgt_path = ab[(epoch + 1) % 2]
+            new_m.write.mode("overwrite").parquet(tgt_path)
+            emb_m = spark.read.parquet(tgt_path)
+            agg.unpersist()
+            bcast.unpersist()
+            if (epoch + 1) % self.checkpoint_every == 0 or epoch == epochs - 1:
+                emb_m = self._checkpoint(epoch, lr, emb_m,
+                                         f_ids, F_mat, y_ids, Y_mat)
+            if verbose:
+                print(f"[joint {self.prefix}] epoch {epoch} lr={lr:.5f} "
                       f"wall={_time.time() - _t0:.1f}s", flush=True)
 
         return {"mention": emb_m,
