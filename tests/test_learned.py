@@ -1,0 +1,84 @@
+"""Learned-inference quality gate (SURVEY.md §7.2 steps 5-7).
+
+Trains the CoType-RM model on a small corpus and asserts the tuned
+extraction F1 clears 0.9 — the sandbox stand-in for the BASELINE.json
+P/R>=0.95 parity target (full-size runs reach 0.97/0.97, see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usc_ds_relationextraction_spark.functions.hashing import h64_py
+from usc_ds_relationextraction_spark.plans import evaluation as ev
+from usc_ds_relationextraction_spark.plans import inference as inf
+from usc_ds_relationextraction_spark.plans.pipeline import KGPipeline
+from usc_ds_relationextraction_spark.plans.training import CoTypeRMTrainer
+from usc_ds_relationextraction_spark.sources import synthetic as syn
+
+
+@pytest.fixture(scope="module")
+def learned(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("whl"))
+    turns = syn.transcripts(spark, 50)
+    brown = {r.word: r.cluster for r in syn.brown_clusters(spark).collect()}
+    pipe = KGPipeline(spark, wh)
+    res = pipe.run_learned(turns, syn.kb_aliases(spark),
+                           syn.kb_facts(spark), brown,
+                           epochs=30, lr=0.25)
+    return pipe, res
+
+
+def test_tuned_f1_above_gate(learned):
+    _, res = learned
+    assert res["best"]["f1"] >= 0.9, res["best"]
+    assert res["metrics"]["f1"] >= 0.9, res["metrics"]
+
+
+def test_learned_triples_shape(learned):
+    _, res = learned
+    t = res["triples"]
+    assert t.columns == ["subj", "pred", "obj", "conv_id", "turn_idx",
+                         "mention_key", "score"]
+    assert t.where(F.col("pred") == "None").count() == 0
+    assert t.count() > 0
+
+
+def test_training_resumes_from_checkpoint(learned, spark):
+    """north_rule: resumable mid-pipeline — meta records the last epoch and
+    a re-entrant train() call with the same total is a no-op returning the
+    checkpointed state."""
+    pipe, res = learned
+    rm_mf = pipe.wh.read("rm_mention_feature")
+    rm_ft = pipe.wh.read("rm_feature_type")
+    rm_mt = pipe.wh.read("rm_mention_type")
+    tr = CoTypeRMTrainer(spark, pipe.wh, "rm", lr=0.25)
+    out = tr.train(rm_mf, rm_ft, rm_mt, epochs=30, resume=True)
+    a = sorted(map(tuple, out["type"].collect()))
+    b = sorted(map(tuple, res["embs"]["type"].collect()))
+    assert a == b
+
+
+def test_min_max_zero_clamp(spark):
+    """P11 quirk (emb_prediction.py:152-164): min/max initialized at 0."""
+    df = spark.createDataFrame([(1, 0.5), (2, 0.25)],
+                               "mention_id long, score double")
+    out = {r["mention_id"]: r["score_norm"]
+           for r in inf.min_max_normalize(df).collect()}
+    # min clamps to 0 even though all scores > 0
+    assert abs(out[1] - 0.5 / (0.5 + 1e-8)) < 1e-9
+    assert abs(out[2] - 0.25 / (0.5 + 1e-8)) < 1e-9
+
+
+def test_evaluate_rm_neg_protocol(spark):
+    """evaluation.py:82-111 semantics: exact set equality; None excluded
+    from positives on both sides."""
+    none = h64_py("None")
+    gold = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, none), (3, 12)], "mention_id long, type_id long")
+    pred = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12), (3, 13)], "mention_id long, type_id long")
+    m = ev.evaluate_rm_neg(pred, gold, none)
+    # pos_gt = {1,3}; pos_pred = {1,2,3}; TP = {1}
+    assert m["pos_gt"] == 2 and m["pos_pred"] == 3 and m["true_pos"] == 1

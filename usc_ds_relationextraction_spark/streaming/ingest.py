@@ -1,0 +1,134 @@
+"""Streaming triple extraction over transcript turns.
+
+Design constraint: Structured Streaming append mode forbids the batch
+pipeline's per-sentence self-join (stream-stream).  The extraction is
+therefore re-expressed **turn-locally**: every turn row maps to its
+triples through array higher-order functions only — tokenize → chunk →
+entity-link (map literal; a stream-static broadcast join at real KB
+sizes) → within-array pair generation → fact lookup → explode.  Stateless,
+watermark-free, scales as a pure narrow map.
+
+Equivalence with the batch path is tested: pairing is within
+(turn, sentence) in both, so the streamed triples match ``triples_ds``
+exactly on the same corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import pos_tags_col, tokens_col
+from ..operators.mentions import np_chunks_col
+from ..sources import synthetic as syn
+
+TERMINALS = (".", "?", "!")
+
+
+def _alias_map(spark: SparkSession) -> Column:
+    """alias → entity_id map literal (KB dimension; broadcast join at
+    real scale — the literal keeps the streaming plan join-free)."""
+    rows = syn.kb_aliases(spark).select("alias", "entity_id").collect()
+    kv: list[Column] = []
+    for r in rows:
+        kv += [F.lit(r["alias"]), F.lit(r["entity_id"])]
+    return F.create_map(*kv)
+
+
+def _fact_map(spark: SparkSession) -> Column:
+    """'subj|obj' → comma-joined relations (both directions encoded by the
+    caller checking both orders)."""
+    facts = syn.kb_facts(spark).groupBy("subj_id", "obj_id").agg(
+        F.array_join(F.sort_array(F.collect_set("relation")), ",")
+        .alias("rels")).collect()
+    kv: list[Column] = []
+    for r in facts:
+        kv += [F.lit(f"{r['subj_id']}|{r['obj_id']}"), F.lit(r["rels"])]
+    return F.create_map(*kv)
+
+
+def turn_local_triples(turns: DataFrame, alias_map: Column,
+                       fact_map: Column) -> DataFrame:
+    """(conv_id, turn_idx, text) → exploded (subj, pred, obj) — one narrow
+    map per turn, streaming-safe."""
+    toks = tokens_col("text")
+    t = turns.withColumn("toks", toks).withColumn(
+        "pos", pos_tags_col("toks"))
+    t = t.withColumn("chunks", np_chunks_col("toks", "pos"))
+    # annotate each chunk with its sentence id + linked entity
+    ann = F.transform(
+        "chunks",
+        lambda c: F.struct(
+            c["start"].alias("start"),
+            c["surface"].alias("surface"),
+            F.size(F.filter(F.slice(F.col("toks"), 1, c["start"]),
+                            lambda x: x.isin(*TERMINALS))).alias("sent_id"),
+            F.element_at(alias_map, c["surface"]).alias("entity_id"),
+        ))
+    t = t.withColumn("ems", F.filter(ann, lambda m: m["entity_id"].isNotNull()))
+
+    # ordered within-sentence pairs from the array (index-aware transform)
+    def pairs_of(ems: Column) -> Column:
+        n = F.size(ems)
+        idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+        pair_lists = F.transform(idx, lambda i: F.transform(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
+            lambda j: F.when(
+                (i < j)
+                & (F.element_at(ems, i + 1)["sent_id"]
+                   == F.element_at(ems, j + 1)["sent_id"])
+                & (F.element_at(ems, i + 1)["start"]
+                   < F.element_at(ems, j + 1)["start"]),
+                F.struct(F.element_at(ems, i + 1).alias("a"),
+                         F.element_at(ems, j + 1).alias("b")))))
+        return F.filter(F.flatten(pair_lists), lambda p: p.isNotNull())
+
+    t = t.withColumn("pairs", F.when(F.size("ems") >= 2, pairs_of(F.col("ems")))
+                     .otherwise(F.array().cast(
+                         "array<struct<a:struct<start:int,surface:string,"
+                         "sent_id:int,entity_id:string>,"
+                         "b:struct<start:int,surface:string,"
+                         "sent_id:int,entity_id:string>>>")))
+
+    p = t.select("conv_id", "turn_idx", F.explode("pairs").alias("p"))
+    fwd_key = F.concat_ws("|", F.col("p.a.entity_id"), F.col("p.b.entity_id"))
+    rev_key = F.concat_ws("|", F.col("p.b.entity_id"), F.col("p.a.entity_id"))
+    p = p.withColumn("rels_fwd", F.element_at(fact_map, fwd_key)) \
+         .withColumn("rels_rev", F.element_at(fact_map, rev_key))
+    fwd = p.where(F.col("rels_fwd").isNotNull()).select(
+        F.col("p.a.surface").alias("subj"),
+        F.explode(F.split("rels_fwd", ",")).alias("pred"),
+        F.col("p.b.surface").alias("obj"), "conv_id", "turn_idx")
+    rev = p.where(F.col("rels_rev").isNotNull()).select(
+        F.col("p.b.surface").alias("subj"),
+        F.explode(F.split("rels_rev", ",")).alias("pred"),
+        F.col("p.a.surface").alias("obj"), "conv_id", "turn_idx")
+    # no .distinct() here: streaming append mode forbids it; batch callers
+    # (and the downstream edges-table MERGE) dedup
+    return fwd.unionByName(rev)
+
+
+def stream_triples(spark: SparkSession, source_dir: str,
+                   checkpoint_dir: str, out_dir: str,
+                   schema: str = ("conv_id string, turn_idx int, role string,"
+                                  " text string, tool string, ts timestamp"),
+                   available_now: bool = True):
+    """readStream(parquet dir) → turn-local extraction → parquet sink.
+
+    ``availableNow`` processes the backlog then stops (the testable mode);
+    without it the query tails the directory.  Note: the final .distinct()
+    of the batch path is dropped here (stateless streaming) — exact-once
+    dedup happens downstream at the Iceberg MERGE/compaction layer.
+    """
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .load(source_dir))
+    triples = turn_local_triples(stream, _alias_map(spark),
+                                 _fact_map(spark))
+    # streaming plans cannot use distinct(); drop it by re-deriving:
+    writer = (triples.writeStream.format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
