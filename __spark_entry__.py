@@ -443,8 +443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where("rk <= 5")
     Q["sim_cosine_topk"] = sim_cosine_topk
 
-    from usc_ds_relationextraction_spark.plans import extended_queries
+    from usc_ds_relationextraction_spark.plans import (extended_queries,
+                                                       parity_queries)
     Q.update(extended_queries.queries())
+    Q.update(parity_queries.queries())
     return Q
 
 
@@ -674,6 +676,8 @@ FROM (
   FROM crossed
 ) WHERE rk <= 5
 """
-    from usc_ds_relationextraction_spark.plans import extended_queries
+    from usc_ds_relationextraction_spark.plans import (extended_queries,
+                                                       parity_queries)
     O.update(extended_queries.oracles())
+    O.update(parity_queries.oracles())
     return O
