@@ -370,10 +370,21 @@ def transcripts(spark: SparkSession, n_convs: int, seed: int = SEED) -> DataFram
 
 # ------------------------------------------------------------- fixture cache
 def fixture_dir(sf_dir: str) -> str:
-    """Deterministic on-disk fixture location keyed by the sf tag."""
+    """Deterministic on-disk fixture location keyed by the sf tag.
+
+    Resolution order: $SPARK_GRAFT_FIXTURES_DIR, the repo root (module two
+    levels up), else the working directory — the module path is not a real
+    directory when the package ships as a ``spark-submit --py-files`` zip.
+    """
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
-    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "..", "..", ".fixtures", tag)
+    env = os.environ.get("SPARK_GRAFT_FIXTURES_DIR")
+    if env:
+        return os.path.join(env, tag)
+    base = os.path.abspath(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+    if not os.path.isdir(base):
+        base = os.getcwd()
+    return os.path.join(base, ".fixtures", tag)
 
 
 def n_convs_for(sf_dir: str) -> int:
