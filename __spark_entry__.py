@@ -112,10 +112,11 @@ def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("r1", "r2")
 
 
-def _labeled_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _labeled_pairs_df(spark: SparkSession, sf_dir: str,
+                      pairs: DataFrame | None = None) -> DataFrame:
     # union the (small) fact dimension into both directions and join ONCE:
     # a union of two joins would evaluate the whole pair subtree twice
-    p = _pairs_df(spark, sf_dir)
+    p = pairs if pairs is not None else _pairs_df(spark, sf_dir)
     facts = _fx(spark, sf_dir, "kb_facts")
     both = facts.select(F.col("subj_id").alias("em1_entity"),
                         F.col("obj_id").alias("em2_entity"),

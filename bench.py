@@ -34,8 +34,11 @@ HEADLINE = [
     "p1_tokenize",
     "np_chunk_mentions",
     "p4_pair_generation",
+    "em_feature_strings",   # Arrow-UDF feature library (the Python stage)
+    "a3_cooccur_real",      # feature-type co-occurrence (the hot shuffle)
     "a3_cooccur_counts",
     "w4_threshold_sweep",
+    "m11_threshold_tune",   # full normalize+sweep+P/R/F1 protocol
     "dedup_exact",
     "sim_cosine_topk",
 ]

@@ -54,3 +54,20 @@ def test_readstream_end_to_end(spark, tiny_corpus, tmp_path):
     assert {tuple(r) for r in streamed.collect()} == \
            {tuple(r) for r in batch.select(*streamed.columns).collect()}
     assert streamed.count() > 0
+
+
+def test_windowed_counts_stream_equals_batch(spark, tiny_corpus, tmp_path):
+    """Watermarked tumbling-window rollup: the streaming (complete-mode)
+    result equals the same aggregation run in batch on the same corpus."""
+    src = str(tmp_path / "wsrc")
+    tiny_corpus.write.mode("overwrite").parquet(src)
+    q = ingest.stream_windowed_counts(spark, src, query_name="win_counts")
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM win_counts")
+    am = ingest._alias_map(spark)
+    fm = ingest._fact_map(spark)
+    batch = ingest.windowed_triple_counts(
+        ingest.turn_local_triples(tiny_corpus, am, fm))
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0

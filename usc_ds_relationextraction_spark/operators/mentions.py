@@ -87,29 +87,32 @@ def np_chunks_col(tokens: Column | str, pos: Column | str) -> Column:
 _UDF_CACHE: dict[str, object] = {}
 
 
+def np_chunks_py(tk: list, ps: list) -> list:
+    """Plain-python NNP-run chunker (shared by the Arrow UDFs + tests)."""
+    out = []
+    i, n = 0, len(ps)
+    while i < n:
+        if ps[i] == "NNP":
+            j = i
+            while j < n and ps[j] == "NNP":
+                j += 1
+            out.append({"start": i, "end": j,
+                        "surface": " ".join(tk[i:j])})
+            i = j
+        else:
+            i += 1
+    return out
+
+
 def np_chunks_udf():
     """pandas/Arrow twin of :func:`np_chunks_col` (agreement-tested)."""
     if "chunks" in _UDF_CACHE:
         return _UDF_CACHE["chunks"]
 
-    def chunks(tk: list, ps: list) -> list:
-        out = []
-        i, n = 0, len(ps)
-        while i < n:
-            if ps[i] == "NNP":
-                j = i
-                while j < n and ps[j] == "NNP":
-                    j += 1
-                out.append({"start": i, "end": j,
-                            "surface": " ".join(tk[i:j])})
-                i = j
-            else:
-                i += 1
-        return out
-
     @pandas_udf(CHUNK_SCHEMA)
     def _udf(tokens: pd.Series, pos: pd.Series) -> pd.Series:
-        return pd.Series([chunks(list(t), list(p)) for t, p in zip(tokens, pos)])
+        return pd.Series([np_chunks_py(list(t), list(p))
+                          for t, p in zip(tokens, pos)])
 
     _UDF_CACHE["chunks"] = _udf
     return _udf

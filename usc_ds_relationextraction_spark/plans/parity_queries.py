@@ -40,6 +40,7 @@ from pyspark.sql.functions import pandas_udf
 from ..functions.hashing import h64, h64_duckdb
 from ..functions.lemma import _IRREG_N, _IRREG_V, get_lemma
 from ..functions.tokenize import POS_DICT, tokens_col
+from ..operators.mentions import np_chunks_col
 
 VOWELS = "('a','e','i','o','u')"
 
@@ -278,17 +279,22 @@ def _em_feature_rows(spark: SparkSession, sf: str) -> DataFrame:
     """REAL pandas-UDF feature extraction over NP-chunk mentions, filtered
     to the SQL-replicable families (unigram/positional; the *GRM_* bigram
     and BROWN_ families ride the same lemma pipeline and are covered by
-    golden tests in tests/test_features.py)."""
-    from ..functions.features import make_em_features_udf
+    golden tests in tests/test_features.py).
+
+    Uses the fused chunk+featurize UDF: each turn's (tokens, pos) crosses
+    Arrow exactly once and is visited exactly once — no join, no
+    per-mention duplication, no re-evaluated chunk expressions."""
+    from ..functions.features import make_chunk_features_udf
     e = _entry()
-    m = e._mentions_df(spark, sf)
     tt = e._turn_tokens(spark, sf)
-    j = m.join(tt.select("conv_id", "turn_idx", "toks", "pos"),
-               on=["conv_id", "turn_idx"])
-    udf = make_em_features_udf({})
-    feats = j.select(
-        "conv_id", "turn_idx", "start", "end",
-        F.explode(udf("toks", "pos", "start", "end")).alias("feature"))
+    udf = make_chunk_features_udf({})
+    z = tt.select("conv_id", "turn_idx",
+                  F.explode(udf("toks", "pos")).alias("z"))
+    feats = z.select(
+        "conv_id", "turn_idx",
+        F.col("z.start").alias("start"),
+        F.col("z.end").alias("end"),
+        F.explode("z.feats").alias("feature"))
     return feats.where(F.col("feature").rlike(FEATURE_KEEP_RE)
                        & ~F.col("feature").rlike("GRM"))
 
@@ -352,8 +358,15 @@ def _gold_pred(spark: SparkSession, sf: str) -> DataFrame:
     sorted DS label set ('None' when no fact); preds corrupt gold through
     the portable hash so both engines derive identical confusion counts."""
     e = _entry()
-    p = e._pairs_df(spark, sf).select(_pair_key().alias("k")).distinct()
-    lp = e._labeled_pairs_df(spark, sf) \
+    # the pair subtree feeds BOTH the mention universe and the label join;
+    # a lazy localCheckpoint materializes it once instead of twice —
+    # narrowed to the key + entity columns so the cached rows stay small
+    pairs = e._pairs_df(spark, sf).select(
+        "conv_id", "turn_idx", "sent_id", "em1_start", "em1_end",
+        "em2_start", "em2_end", "em1_entity", "em2_entity") \
+        .localCheckpoint(eager=False)
+    p = pairs.select(_pair_key().alias("k")).distinct()
+    lp = e._labeled_pairs_df(spark, sf, pairs=pairs) \
         .groupBy(_pair_key().alias("k")) \
         .agg(F.array_join(F.sort_array(F.collect_set("relation")), ",")
              .alias("gold_set"))
@@ -409,15 +422,25 @@ def m11_threshold_tune(spark: SparkSession, sf: str) -> DataFrame:
         "gold_set", "top1",
         F.expr("(s - mn) * 1000 div greatest(mx - mn, 1)")
         .alias("norm_milli"))
+    # sweep over the score HISTOGRAM, not the row set: ≤1001 distinct
+    # normalized values x 101 thresholds instead of |pairs| x 101 — same
+    # counts exactly, ~1000x fewer rows through the sweep join.  (The
+    # DuckDB oracle keeps the naive row-level formulation: two independent
+    # evaluation strategies agreeing is a stronger check.)
+    hist = norm.select(
+        "norm_milli",
+        (F.col("top1") == F.col("gold_set")).cast("int").alias("m")) \
+        .groupBy("norm_milli", "m").agg(F.count("*").alias("c"))
+    tot = hist.agg(F.sum("c").alias("pos_gt"))
     th = spark.range(0, 101).select(
         (F.col("id") * 10).cast("bigint").alias("theta_milli"))
-    crossed = norm.crossJoin(F.broadcast(th))
+    crossed = hist.crossJoin(F.broadcast(th))
     cut = F.col("norm_milli") > F.col("theta_milli")
     per = crossed.groupBy("theta_milli").agg(
-        F.sum(F.when(cut, 1).otherwise(0)).alias("pos_pred"),
-        F.sum(F.when(cut & (F.col("top1") == F.col("gold_set")), 1)
-              .otherwise(0)).alias("tp"),
-        F.count("*").alias("pos_gt"))
+        F.sum(F.when(cut, F.col("c")).otherwise(0)).alias("pos_pred"),
+        F.sum(F.when(cut & (F.col("m") == 1), F.col("c"))
+              .otherwise(0)).alias("tp")) \
+        .crossJoin(F.broadcast(tot))
     pr = per.select(
         "theta_milli", "pos_pred", "pos_gt", "tp",
         F.expr("tp * 1000000 div greatest(pos_pred, 1)").alias("p_ppm"),

@@ -90,7 +90,8 @@ def turn_local_triples(turns: DataFrame, alias_map: Column,
                          "b:struct<start:int,surface:string,"
                          "sent_id:int,entity_id:string>>>")))
 
-    p = t.select("conv_id", "turn_idx", F.explode("pairs").alias("p"))
+    carry = ["conv_id", "turn_idx"] + (["ts"] if "ts" in turns.columns else [])
+    p = t.select(*carry, F.explode("pairs").alias("p"))
     fwd_key = F.concat_ws("|", F.col("p.a.entity_id"), F.col("p.b.entity_id"))
     rev_key = F.concat_ws("|", F.col("p.b.entity_id"), F.col("p.a.entity_id"))
     p = p.withColumn("rels_fwd", F.element_at(fact_map, fwd_key)) \
@@ -98,11 +99,11 @@ def turn_local_triples(turns: DataFrame, alias_map: Column,
     fwd = p.where(F.col("rels_fwd").isNotNull()).select(
         F.col("p.a.surface").alias("subj"),
         F.explode(F.split("rels_fwd", ",")).alias("pred"),
-        F.col("p.b.surface").alias("obj"), "conv_id", "turn_idx")
+        F.col("p.b.surface").alias("obj"), *carry)
     rev = p.where(F.col("rels_rev").isNotNull()).select(
         F.col("p.b.surface").alias("subj"),
         F.explode(F.split("rels_rev", ",")).alias("pred"),
-        F.col("p.a.surface").alias("obj"), "conv_id", "turn_idx")
+        F.col("p.a.surface").alias("obj"), *carry)
     # no .distinct() here: streaming append mode forbids it; batch callers
     # (and the downstream edges-table MERGE) dedup
     return fwd.unionByName(rev)
@@ -125,10 +126,54 @@ def stream_triples(spark: SparkSession, source_dir: str,
     triples = turn_local_triples(stream, _alias_map(spark),
                                  _fact_map(spark))
     # streaming plans cannot use distinct(); drop it by re-deriving:
-    writer = (triples.writeStream.format("parquet")
+    writer = (triples.select("subj", "pred", "obj", "conv_id", "turn_idx")
+              .writeStream.format("parquet")
               .option("path", out_dir)
               .option("checkpointLocation", checkpoint_dir)
               .outputMode("append"))
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_triple_counts(triples: DataFrame, window: str = "10 minutes",
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window rollup: triples per (event window, pred).
+
+    The §2.9 stateful pattern the batch reference lacks: with the
+    watermark, state for windows older than (max event time − watermark)
+    is evicted, so memory stays bounded on an unbounded stream; late turns
+    beyond the watermark are dropped.  Works identically on a batch
+    DataFrame (watermark is a no-op there), which is how the test
+    establishes stream≡batch equality.
+    """
+    return (triples
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "pred")
+            .agg(F.count("*").alias("n_triples"),
+                 # exact distinct is unsupported in streaming aggs; the
+                 # HLL sketch is deterministic, so batch≡stream still holds
+                 F.approx_count_distinct("conv_id").alias("n_convs"))
+            .select(F.col("w.start").alias("win_start"),
+                    F.col("w.end").alias("win_end"),
+                    "pred", "n_triples", "n_convs"))
+
+
+def stream_windowed_counts(spark: SparkSession, source_dir: str,
+                           query_name: str,
+                           schema: str = ("conv_id string, turn_idx int,"
+                                          " role string, text string,"
+                                          " tool string, ts timestamp"),
+                           window: str = "10 minutes",
+                           watermark: str = "30 minutes"):
+    """readStream → turn-local extraction → watermarked window agg →
+    in-memory sink (complete mode so every window is observable; the
+    production sink would run append mode and emit windows as the
+    watermark finalizes them)."""
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .load(source_dir))
+    triples = turn_local_triples(stream, _alias_map(spark),
+                                 _fact_map(spark))
+    agg = windowed_triple_counts(triples, window, watermark)
+    return (agg.writeStream.format("memory").queryName(query_name)
+            .outputMode("complete").trigger(availableNow=True).start())
