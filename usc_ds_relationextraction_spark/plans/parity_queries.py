@@ -307,6 +307,39 @@ def em_feature_strings(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
 
 
+RM_KEEP_RE = ("^(HEAD_EM[12]_|TKN_EM[12]_|TKN_BTWN_|FIRST_TKN_BTWN_|"
+              "LAST_TKN_BTWN_|CTXT_EM[12]_(LEFT|RIGHT)_|POS_|"
+              "EM1_BEFORE_EM2|EM2_BEFORE_EM1|DISTANCE_|NUM_EMS_BTWEEN_|"
+              "EM[12]_IN_EM[21])")
+
+
+def rm_feature_strings(spark: SparkSession, sf: str) -> DataFrame:
+    """F1-F10 byte-format parity for the RELATION-mention feature library
+    (token_feature.py:28-75, other_feature.py:7-59) — the real pandas UDF
+    over DS pairs vs an independent SQL formulation.  GRM_* bigrams and
+    sentence-wide BROWN_* ride the same lemma pipeline (golden-tested)."""
+    from ..functions.features import make_rm_features_udf
+    e = _entry()
+    p = e._pairs_df(spark, sf).select(
+        "conv_id", "turn_idx", "sent_id", "em1_start", "em1_end",
+        "em2_start", "em2_end", "num_between").distinct()
+    tt = e._turn_tokens(spark, sf).select("conv_id", "turn_idx",
+                                          "toks", "pos")
+    j = p.join(tt, on=["conv_id", "turn_idx"])
+    udf = make_rm_features_udf({})
+    feats = j.select(
+        "conv_id", "turn_idx", "sent_id", "em1_start", "em1_end",
+        "em2_start", "em2_end",
+        F.explode(udf("toks", "pos", "em1_start", "em1_end",
+                      "em2_start", "em2_end", "num_between"))
+        .alias("feature"))
+    keep = feats.where(F.col("feature").rlike(RM_KEEP_RE)
+                       & ~F.col("feature").rlike("GRM"))
+    return keep.groupBy("conv_id", "turn_idx", "sent_id", "em1_start",
+                        "em1_end", "em2_start", "em2_end", "feature") \
+        .agg(F.count("*").alias("n"))
+
+
 def a3_cooccur_real(spark: SparkSession, sf: str) -> DataFrame:
     """A3/J4 over the real pipeline: distinct mention–feature rows joined
     to distinct mention–type rows on the mention key, counted per
@@ -461,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_lemma": p6_lemma,
         "p3_span_alignment": p3_span_alignment,
         "em_feature_strings": em_feature_strings,
+        "rm_feature_strings": rm_feature_strings,
         "a3_cooccur_real": a3_cooccur_real,
         "j5_triple_assembly": j5_triple_assembly,
         "m10_eval_prf": m10_eval_prf,
@@ -546,6 +580,12 @@ FROM hits WHERE len(hs) > 0
 SELECT conv_id, turn_idx, start, "end", feature, COUNT(*) AS n
 FROM feats
 GROUP BY conv_id, turn_idx, start, "end", feature
+"""
+
+    O["rm_feature_strings"] = _rm_feature_strings_sql(e) + f"""
+SELECT {K7}, feature, COUNT(*) AS n
+FROM rfeats
+GROUP BY {K7}, feature
 """
 
     O["a3_cooccur_real"] = _feature_strings_sql(e) + f""",
@@ -679,6 +719,117 @@ gp AS (
                  ELSE 'None' END)
     END AS pred_set
   FROM g
+)"""
+
+
+K7 = ("conv_id, turn_idx, sent_id, em1_start, em1_end, em2_start, "
+      "em2_end")
+
+
+def _rm_side_sql(side: str) -> str:
+    """Per-entity-mention CTEs (span / stop / head / head-token) keyed by
+    the full 7-column pair key."""
+    s, e_ = f"em{side}_start", f"em{side}_end"
+    return f"""sp{side} AS (
+  SELECT pr.conv_id, pr.turn_idx, pr.sent_id, pr.em1_start, pr.em1_end,
+         pr.em2_start, pr.em2_end, l.pos, l.token, l.tag, l.lemma
+  FROM pr JOIN lems l
+    ON l.conv_id = pr.conv_id AND l.turn_idx = pr.turn_idx
+   AND l.pos BETWEEN pr.{s} + 1 AND pr.{e_}
+),
+st{side} AS (
+  SELECT {K7},
+         MIN(pos) FILTER (WHERE tag = 'IN' OR tag = ',') AS stop_pos
+  FROM sp{side} GROUP BY {K7}
+),
+hd{side} AS (
+  SELECT s.conv_id, s.turn_idx, s.sent_id, s.em1_start, s.em1_end,
+         s.em2_start, s.em2_end,
+         coalesce(MAX(s.pos) FILTER (WHERE s.tag LIKE 'N%'
+           AND s.pos < coalesce(t.stop_pos, s.{e_} + 1)), s.{e_}) AS hpos
+  FROM sp{side} s JOIN st{side} t
+    ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
+   AND s.sent_id = t.sent_id AND s.em1_start = t.em1_start
+   AND s.em1_end = t.em1_end AND s.em2_start = t.em2_start
+   AND s.em2_end = t.em2_end
+  GROUP BY s.conv_id, s.turn_idx, s.sent_id, s.em1_start, s.em1_end,
+           s.em2_start, s.em2_end, t.stop_pos
+),
+ht{side} AS (
+  SELECT h.conv_id, h.turn_idx, h.sent_id, h.em1_start, h.em1_end,
+         h.em2_start, h.em2_end, l.lemma AS hlem
+  FROM hd{side} h JOIN lems l
+    ON l.conv_id = h.conv_id AND l.turn_idx = h.turn_idx
+   AND l.pos = h.hpos
+)"""
+
+
+def _rm_feature_strings_sql(e) -> str:
+    """CTE chain ending in ``rfeats(<7-key>, feature)`` — independent SQL
+    formulation of the RM families F1-F4, F6-F10 (bigrams/Brown excluded,
+    same rationale as the EM twin)."""
+    ctx = []
+    for side in ("1", "2"):
+        s, e_ = f"em{side}_start", f"em{side}_end"
+        ctx.append(f"""
+  SELECT pr.conv_id, pr.turn_idx, pr.sent_id, pr.em1_start, pr.em1_end,
+         pr.em2_start, pr.em2_end, 'CTXT_EM{side}_LEFT_' || l.lemma
+           AS feature
+  FROM pr JOIN lems l
+    ON l.conv_id = pr.conv_id AND l.turn_idx = pr.turn_idx
+   AND l.pos BETWEEN pr.{s} - 2 AND pr.{s}
+  UNION ALL
+  SELECT pr.conv_id, pr.turn_idx, pr.sent_id, pr.em1_start, pr.em1_end,
+         pr.em2_start, pr.em2_end, 'CTXT_EM{side}_RIGHT_' || l.lemma
+  FROM pr JOIN lems l
+    ON l.conv_id = pr.conv_id AND l.turn_idx = pr.turn_idx
+   AND l.pos BETWEEN pr.{e_} + 1 AND pr.{e_} + 3""")
+    ctx_sql = "\n  UNION ALL".join(ctx)
+    return f"""WITH {e._sql_pairs().lstrip()},
+{_sql_lems()},
+pr AS (
+  SELECT DISTINCT {K7}, num_between FROM pairs
+),
+{_rm_side_sql('1')},
+{_rm_side_sql('2')},
+btw AS (
+  SELECT pr.conv_id, pr.turn_idx, pr.sent_id, pr.em1_start, pr.em1_end,
+         pr.em2_start, pr.em2_end, l.pos, l.tag, l.lemma
+  FROM pr JOIN lems l
+    ON l.conv_id = pr.conv_id AND l.turn_idx = pr.turn_idx
+   AND l.pos BETWEEN pr.em1_end + 1 AND pr.em2_start
+),
+rfeats AS (
+  SELECT {K7}, 'HEAD_EM1_' || hlem AS feature FROM ht1
+  UNION ALL
+  SELECT {K7}, 'HEAD_EM2_' || hlem FROM ht2
+  UNION ALL
+  SELECT {K7}, 'TKN_EM1_' || lemma FROM sp1
+  UNION ALL
+  SELECT {K7}, 'TKN_EM2_' || lemma FROM sp2
+  UNION ALL
+  SELECT {K7}, 'TKN_BTWN_' || lemma FROM btw
+  UNION ALL
+  SELECT {K7}, 'FIRST_TKN_BTWN_' || lemma FROM btw
+  WHERE pos = em1_end + 1
+  UNION ALL
+  SELECT {K7}, 'LAST_TKN_BTWN_' || lemma FROM btw WHERE pos = em2_start
+  UNION ALL
+  SELECT {K7}, 'POS_' || tag FROM btw
+  UNION ALL{ctx_sql}
+  UNION ALL
+  SELECT {K7}, 'EM1_BEFORE_EM2' FROM pr
+  UNION ALL
+  SELECT {K7}, 'DISTANCE_' || CAST(em2_start - em1_end AS VARCHAR) FROM pr
+  UNION ALL
+  SELECT {K7}, 'NUM_EMS_BTWEEN_' || CAST(num_between AS VARCHAR) FROM pr
+  UNION ALL
+  SELECT pr.conv_id, pr.turn_idx, pr.sent_id, pr.em1_start, pr.em1_end,
+         pr.em2_start, pr.em2_end, 'EM1_IN_EM2'
+  FROM pr JOIN lems l
+    ON l.conv_id = pr.conv_id AND l.turn_idx = pr.turn_idx
+   AND l.pos = pr.em1_end + 1
+  WHERE pr.em1_end + 1 = pr.em2_start AND l.token = 'in'
 )"""
 
 
