@@ -310,14 +310,15 @@ def em_feature_strings(spark: SparkSession, sf: str) -> DataFrame:
 RM_KEEP_RE = ("^(HEAD_EM[12]_|TKN_EM[12]_|TKN_BTWN_|FIRST_TKN_BTWN_|"
               "LAST_TKN_BTWN_|CTXT_EM[12]_(LEFT|RIGHT)_|POS_|"
               "EM1_BEFORE_EM2|EM2_BEFORE_EM1|DISTANCE_|NUM_EMS_BTWEEN_|"
-              "EM[12]_IN_EM[21])")
+              "EM[12]_IN_EM[21]|BROWN_)")
 
 
 def rm_feature_strings(spark: SparkSession, sf: str) -> DataFrame:
-    """F1-F10 byte-format parity for the RELATION-mention feature library
-    (token_feature.py:28-75, other_feature.py:7-59) — the real pandas UDF
-    over DS pairs vs an independent SQL formulation.  GRM_* bigrams and
-    sentence-wide BROWN_* ride the same lemma pipeline (golden-tested)."""
+    """F1-F11 byte-format parity for the RELATION-mention feature library
+    (token_feature.py:28-75, other_feature.py:7-59, brown_feature.py:7-25)
+    — the real pandas UDF (with the real Brown dictionary) over DS pairs
+    vs an independent SQL formulation.  GRM_* bigrams ride the same lemma
+    pipeline (golden-tested)."""
     from ..functions.features import make_rm_features_udf
     e = _entry()
     p = e._pairs_df(spark, sf).select(
@@ -326,7 +327,9 @@ def rm_feature_strings(spark: SparkSession, sf: str) -> DataFrame:
     tt = e._turn_tokens(spark, sf).select("conv_id", "turn_idx",
                                           "toks", "pos")
     j = p.join(tt, on=["conv_id", "turn_idx"])
-    udf = make_rm_features_udf({})
+    brown = {r["word"]: r["cluster"]
+             for r in e._fx(spark, sf, "brown_clusters").collect()}
+    udf = make_rm_features_udf(brown)
     feats = j.select(
         "conv_id", "turn_idx", "sent_id", "em1_start", "em1_end",
         "em2_start", "em2_end",
@@ -785,7 +788,7 @@ def _rm_feature_strings_sql(e) -> str:
     ON l.conv_id = pr.conv_id AND l.turn_idx = pr.turn_idx
    AND l.pos BETWEEN pr.{e_} + 1 AND pr.{e_} + 3""")
     ctx_sql = "\n  UNION ALL".join(ctx)
-    return f"""WITH {e._sql_pairs().lstrip()},
+    sql = f"""WITH {e._sql_pairs().lstrip()},
 {_sql_lems()},
 pr AS (
   SELECT DISTINCT {K7}, num_between FROM pairs
@@ -830,7 +833,26 @@ rfeats AS (
     ON l.conv_id = pr.conv_id AND l.turn_idx = pr.turn_idx
    AND l.pos = pr.em1_end + 1
   WHERE pr.em1_end + 1 = pr.em2_start AND l.token = 'in'
+  UNION ALL
+  -- F11 BrownFeature: sentence-wide, prefix lengths 4/8/12/20 + ALL
+  -- (brown_feature.py:7-25); dict lookup is case-sensitive on the lemma
+  SELECT pr.conv_id, pr.turn_idx, pr.sent_id, pr.em1_start, pr.em1_end,
+         pr.em2_start, pr.em2_end,
+         'BROWN_' || CAST(pl.l AS VARCHAR) || '_'
+           || substr(bc.cluster, 1, pl.l)
+  FROM pr JOIN lems l
+    ON l.conv_id = pr.conv_id AND l.turn_idx = pr.turn_idx
+  JOIN {{BROWN}} bc ON bc.word = l.lemma
+  CROSS JOIN (VALUES (4), (8), (12), (20)) pl(l)
+  WHERE length(bc.cluster) >= pl.l
+  UNION ALL
+  SELECT pr.conv_id, pr.turn_idx, pr.sent_id, pr.em1_start, pr.em1_end,
+         pr.em2_start, pr.em2_end, 'BROWN_ALL_' || bc.cluster
+  FROM pr JOIN lems l
+    ON l.conv_id = pr.conv_id AND l.turn_idx = pr.turn_idx
+  JOIN {{BROWN}} bc ON bc.word = l.lemma
 )"""
+    return sql.replace("{BROWN}", e._fx_sql("brown_clusters"))
 
 
 def _feature_strings_sql(e) -> str:
