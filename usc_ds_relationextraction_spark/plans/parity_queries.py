@@ -272,7 +272,7 @@ def p3_span_alignment(spark: SparkSession, sf: str) -> DataFrame:
 
 # ---------------------------------------------------------------- features
 FEATURE_KEEP_RE = (
-    "^(HEAD_|TKN_|POS_|SHAPE_|LENGTH_|CHAR_|CTXT_LEFT_|CTXT_RIGHT_)")
+    "^(HEAD_|TKN_|POS_|SHAPE_|LENGTH_|CHAR_|CTXT_LEFT_|CTXT_RIGHT_|GRM_)")
 
 
 def _em_feature_rows(spark: SparkSession, sf: str) -> DataFrame:
@@ -295,8 +295,7 @@ def _em_feature_rows(spark: SparkSession, sf: str) -> DataFrame:
         F.col("z.start").alias("start"),
         F.col("z.end").alias("end"),
         F.explode("z.feats").alias("feature"))
-    return feats.where(F.col("feature").rlike(FEATURE_KEEP_RE)
-                       & ~F.col("feature").rlike("GRM"))
+    return feats.where(F.col("feature").rlike(FEATURE_KEEP_RE))
 
 
 def em_feature_strings(spark: SparkSession, sf: str) -> DataFrame:
@@ -310,7 +309,7 @@ def em_feature_strings(spark: SparkSession, sf: str) -> DataFrame:
 RM_KEEP_RE = ("^(HEAD_EM[12]_|TKN_EM[12]_|TKN_BTWN_|FIRST_TKN_BTWN_|"
               "LAST_TKN_BTWN_|CTXT_EM[12]_(LEFT|RIGHT)_|POS_|"
               "EM1_BEFORE_EM2|EM2_BEFORE_EM1|DISTANCE_|NUM_EMS_BTWEEN_|"
-              "EM[12]_IN_EM[21]|BROWN_)")
+              "EM[12]_IN_EM[21]|BROWN_|GRM_EM[12]_)")
 
 
 def rm_feature_strings(spark: SparkSession, sf: str) -> DataFrame:
@@ -336,8 +335,7 @@ def rm_feature_strings(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(udf("toks", "pos", "em1_start", "em1_end",
                       "em2_start", "em2_end", "num_between"))
         .alias("feature"))
-    keep = feats.where(F.col("feature").rlike(RM_KEEP_RE)
-                       & ~F.col("feature").rlike("GRM"))
+    keep = feats.where(F.col("feature").rlike(RM_KEEP_RE))
     return keep.groupBy("conv_id", "turn_idx", "sent_id", "em1_start",
                         "em1_end", "em2_start", "em2_end", "feature") \
         .agg(F.count("*").alias("n"))
@@ -786,7 +784,22 @@ def _rm_feature_strings_sql(e) -> str:
          pr.em2_start, pr.em2_end, 'CTXT_EM{side}_RIGHT_' || l.lemma
   FROM pr JOIN lems l
     ON l.conv_id = pr.conv_id AND l.turn_idx = pr.turn_idx
-   AND l.pos BETWEEN pr.{e_} + 1 AND pr.{e_} + 3""")
+   AND l.pos BETWEEN pr.{e_} + 1 AND pr.{e_} + 3
+  UNION ALL
+  SELECT pr.conv_id, pr.turn_idx, pr.sent_id, pr.em1_start, pr.em1_end,
+         pr.em2_start, pr.em2_end,
+         CASE WHEN l1.pos BETWEEN pr.{s} + 1 AND pr.{e_} - 1
+                THEN 'GRM_EM{side}_' || l1.lemma || '_' || l2.lemma
+              WHEN l1.pos <= pr.{s}
+                THEN 'CTXT_EM{side}_LEFT_GRM_' || l1.lemma || '_'
+                     || l2.lemma
+              ELSE 'CTXT_EM{side}_RIGHT_GRM_' || l1.lemma || '_'
+                   || l2.lemma END
+  FROM pr
+  JOIN lems l1 ON l1.conv_id = pr.conv_id AND l1.turn_idx = pr.turn_idx
+   AND l1.pos BETWEEN pr.{s} - 2 AND pr.{e_} + 2
+  JOIN lems l2 ON l2.conv_id = l1.conv_id AND l2.turn_idx = l1.turn_idx
+   AND l2.pos = l1.pos + 1""")
     ctx_sql = "\n  UNION ALL".join(ctx)
     sql = f"""WITH {e._sql_pairs().lstrip()},
 {_sql_lems()},
@@ -935,4 +948,18 @@ feats AS (
   SELECT conv_id, turn_idx, start, "end",
          'CHAR_' || substr(ht, length(ht) - 1, 2) || ':'
   FROM head_tok WHERE length(ht) >= 3
+  UNION ALL
+  -- F17 EMContextGramFeature(3): bigram (p, p+1), p in
+  -- [start-2, end+2] 1-based; category by p vs the span
+  SELECT m.conv_id, m.turn_idx, m.start, m."end",
+         CASE WHEN l1.pos BETWEEN m.start + 1 AND m."end" - 1
+                THEN 'GRM_' || l1.lemma || '_' || l2.lemma
+              WHEN l1.pos <= m.start
+                THEN 'CTXT_LEFT_GRM_' || l1.lemma || '_' || l2.lemma
+              ELSE 'CTXT_RIGHT_GRM_' || l1.lemma || '_' || l2.lemma END
+  FROM mentions m
+  JOIN lems l1 ON l1.conv_id = m.conv_id AND l1.turn_idx = m.turn_idx
+   AND l1.pos BETWEEN m.start - 2 AND m."end" + 2
+  JOIN lems l2 ON l2.conv_id = l1.conv_id AND l2.turn_idx = l1.turn_idx
+   AND l2.pos = l1.pos + 1
 )"""
