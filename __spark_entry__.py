@@ -555,15 +555,19 @@ per_turn AS (
 SELECT n_mentions, COUNT(*) AS n_turns FROM per_turn GROUP BY n_mentions
 """
 
+    # NOTE: DuckDB SUM(BIGINT) widens to HUGEINT, which the driver's
+    # value-hasher serializes differently from Spark's BIGINT even when
+    # every value matches — cast the AGGREGATE OUTPUT, not the input.
     O["a3_cooccur_counts"] = """
 SELECT o_orderpriority, l_returnflag, COUNT(*) AS n,
-       SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+       CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority, l_returnflag
 """
 
     O["a4_weighted_degree"] = """
-SELECT l_partkey, SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS deg_c,
+SELECT l_partkey,
+       CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS deg_c,
        COUNT(*) AS n
 FROM lineitem GROUP BY l_partkey
 """
@@ -624,7 +628,7 @@ scaled AS (
          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p
   FROM lineitem
 )
-SELECT theta, COUNT(*) AS n, SUM(p) AS rev_c
+SELECT theta, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS rev_c
 FROM scaled, th WHERE d > theta GROUP BY theta
 """
 
@@ -665,8 +669,8 @@ WITH base AS (
 ),
 crossed AS (
   SELECT a.vec_id AS query_id, b.vec_id AS nn_id,
-         list_sum(list_transform(generate_series(1, len(a.q)),
-                                 i -> a.q[i] * b.q[i])) AS qdot
+         CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+                                      i -> a.q[i] * b.q[i])) AS BIGINT) AS qdot
   FROM base a JOIN base b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
 )
 SELECT query_id, nn_id, qdot,

@@ -58,7 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, sf, "embeddings"), EMB_DIM)
     Q["mm_binary_stats"] = lambda s, sf: multimodal.ingest_binary(
         _t(s, sf, "documents")).select("doc_id", "media_type", "n_bytes")
-    # stubbed codec → rows-only check (no SQL oracle by design)
+    # stub decoder is deterministic (md5-derived) → full SQL oracle below
     Q["mm_decode_features"] = lambda s, sf: multimodal.decode_features(
         multimodal.ingest_binary(_t(s, sf, "documents")))
     return Q
@@ -249,9 +249,12 @@ qs AS (
   SELECT vec_id AS query_id, q AS qq, bucket FROM base WHERE vec_id < 10
 ),
 cand AS (
+  -- CAST(list_sum AS BIGINT): DuckDB widens to HUGEINT, which hashes
+  -- differently from Spark's BIGINT in the driver gate
   SELECT qs.query_id, b.vec_id AS nn_id,
-         list_sum(list_transform(generate_series(1, {EMB_DIM}),
-                                 i -> qs.qq[i] * b.q[i])) AS qdot
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                                      i -> qs.qq[i] * b.q[i])) AS BIGINT)
+           AS qdot
   FROM qs JOIN base b ON qs.bucket = b.bucket AND qs.query_id <> b.vec_id
 )
 SELECT query_id, nn_id, qdot, CAST(rk AS INT) AS rk FROM (
@@ -283,8 +286,9 @@ g AS (SELECT label AS c_label, COUNT(*) AS n, {sums64}
 cent AS (SELECT c_label, {clist} AS cvec FROM g),
 scored AS (
   SELECT b.vec_id, b.label, c.c_label,
-         list_sum(list_transform(generate_series(1, {EMB_DIM}),
-                                 i -> b.q[i] * c.cvec[i])) AS qdot
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                                      i -> b.q[i] * c.cvec[i])) AS BIGINT)
+           AS qdot
   FROM base b CROSS JOIN cent c
 )
 SELECT vec_id, label, c_label AS assigned_label, qdot FROM (
@@ -300,5 +304,34 @@ SELECT doc_id,
             WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
        CAST(strlen(text) AS INT) AS n_bytes
 FROM documents
+"""
+
+    # SQL twin of the documented stub decoder (multimodal._decode_one):
+    # features derive from md5(payload) bytes, so each is expressible as
+    # hex-substring arithmetic; mean_luma sums the first 256 payload bytes
+    # (documents fixture is ASCII, so char positions == byte positions —
+    # verified at the gate's sf0.01). A production codec swap would demote
+    # this entry back to a rows-only check.
+    O["mm_decode_features"] = """
+WITH h AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+              WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+         CAST(strlen(text) AS INT) AS n_bytes,
+         md5(text) AS hx, text
+  FROM documents
+)
+SELECT doc_id, media_type, n_bytes,
+       CAST(64 + ('0x' || substr(hx, 1, 2))::INT % 192 AS INT) AS width,
+       CAST(64 + ('0x' || substr(hx, 3, 2))::INT % 192 AS INT) AS height,
+       CAST(CASE WHEN media_type = 'image/png' THEN 1
+            ELSE 1 + ('0x' || substr(hx, 5, 2))::INT % 120 END AS INT)
+         AS n_frames,
+       CAST((list_sum(list_transform(
+                generate_series(1, LEAST(strlen(text), 256)),
+                i -> ascii(substr(text, i, 1))))
+             // GREATEST(LEAST(strlen(text), 256), 1)) & 255 AS INT)
+         AS mean_luma
+FROM h
 """
     return O

@@ -627,23 +627,29 @@ FROM rm r JOIN emk a ON r.em1_key = a.em_key
           JOIN emk b ON r.em2_key = b.em_key
 """
 
+    # every SUM / derived // column CAST to BIGINT: DuckDB SUM widens to
+    # HUGEINT and HUGEINT // HUGEINT stays HUGEINT, which the driver's
+    # value-hasher serializes differently from Spark's BIGINT
     O["m10_eval_prf"] = _gold_pred_sql(e) + """
 , agg AS (
   SELECT
-    SUM(CASE WHEN gold_set <> 'None' THEN 1 ELSE 0 END) AS pos_gt,
-    SUM(CASE WHEN pred_set <> 'None' THEN 1 ELSE 0 END) AS pos_pred,
-    SUM(CASE WHEN pred_set <> 'None' AND pred_set = gold_set
-        THEN 1 ELSE 0 END) AS tp
+    CAST(SUM(CASE WHEN gold_set <> 'None' THEN 1 ELSE 0 END) AS BIGINT)
+      AS pos_gt,
+    CAST(SUM(CASE WHEN pred_set <> 'None' THEN 1 ELSE 0 END) AS BIGINT)
+      AS pos_pred,
+    CAST(SUM(CASE WHEN pred_set <> 'None' AND pred_set = gold_set
+        THEN 1 ELSE 0 END) AS BIGINT) AS tp
   FROM gp
 ),
 pr AS (
   SELECT pos_pred, pos_gt, tp,
-         tp * 1000000 // GREATEST(pos_pred, 1) AS p_ppm,
-         tp * 1000000 // GREATEST(pos_gt, 1) AS r_ppm
+         CAST(tp * 1000000 // GREATEST(pos_pred, 1) AS BIGINT) AS p_ppm,
+         CAST(tp * 1000000 // GREATEST(pos_gt, 1) AS BIGINT) AS r_ppm
   FROM agg
 )
 SELECT pos_pred, pos_gt, tp, p_ppm, r_ppm,
-       2 * p_ppm * r_ppm // GREATEST(p_ppm + r_ppm, 1) AS f1_ppm
+       CAST(2 * p_ppm * r_ppm // GREATEST(p_ppm + r_ppm, 1) AS BIGINT)
+         AS f1_ppm
 FROM pr
 """
 
@@ -665,21 +671,22 @@ norm AS (
 th AS (SELECT UNNEST(generate_series(0, 100)) * 10 AS theta_milli),
 per AS (
   SELECT theta_milli,
-         SUM(CASE WHEN norm_milli > theta_milli THEN 1 ELSE 0 END)
-           AS pos_pred,
-         SUM(CASE WHEN norm_milli > theta_milli AND top1 = gold_set
-             THEN 1 ELSE 0 END) AS tp,
+         CAST(SUM(CASE WHEN norm_milli > theta_milli THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos_pred,
+         CAST(SUM(CASE WHEN norm_milli > theta_milli AND top1 = gold_set
+             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
          COUNT(*) AS pos_gt
   FROM norm, th GROUP BY theta_milli
 ),
 pr AS (
   SELECT theta_milli, pos_pred, pos_gt, tp,
-         tp * 1000000 // GREATEST(pos_pred, 1) AS p_ppm,
-         tp * 1000000 // GREATEST(pos_gt, 1) AS r_ppm
+         CAST(tp * 1000000 // GREATEST(pos_pred, 1) AS BIGINT) AS p_ppm,
+         CAST(tp * 1000000 // GREATEST(pos_gt, 1) AS BIGINT) AS r_ppm
   FROM per
 )
 SELECT theta_milli, pos_pred, pos_gt, tp, p_ppm, r_ppm,
-       2 * p_ppm * r_ppm // GREATEST(p_ppm + r_ppm, 1) AS f1_ppm
+       CAST(2 * p_ppm * r_ppm // GREATEST(p_ppm + r_ppm, 1) AS BIGINT)
+         AS f1_ppm
 FROM pr
 """
     return O
