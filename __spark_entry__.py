@@ -445,9 +445,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["sim_cosine_topk"] = sim_cosine_topk
 
     from usc_ds_relationextraction_spark.plans import (extended_queries,
-                                                       parity_queries)
+                                                       parity_queries,
+                                                       replay_queries)
     Q.update(extended_queries.queries())
     Q.update(parity_queries.queries())
+    Q.update(replay_queries.queries())
     return Q
 
 
@@ -682,7 +684,9 @@ FROM (
 ) WHERE rk <= 5
 """
     from usc_ds_relationextraction_spark.plans import (extended_queries,
-                                                       parity_queries)
+                                                       parity_queries,
+                                                       replay_queries)
     O.update(extended_queries.oracles())
     O.update(parity_queries.oracles())
+    O.update(replay_queries.oracles(FX01))
     return O
