@@ -82,3 +82,40 @@ def test_evaluate_rm_neg_protocol(spark):
     m = ev.evaluate_rm_neg(pred, gold, none)
     # pos_gt = {1,3}; pos_pred = {1,2,3}; TP = {1}
     assert m["pos_gt"] == 2 and m["pos_pred"] == 3 and m["true_pos"] == 1
+
+
+@pytest.fixture(scope="module")
+def joint(spark, tmp_path_factory):
+    """Joint mode with the EM namespace in the epoch loop
+    (retype.cpp:149-161 parity): RM nets + EM nets + TransE."""
+    wh = str(tmp_path_factory.mktemp("whj"))
+    turns = syn.transcripts(spark, 40)
+    brown = {r.word: r.cluster for r in syn.brown_clusters(spark).collect()}
+    pipe = KGPipeline(spark, wh)
+    res = pipe.run_learned(turns, syn.kb_aliases(spark),
+                           syn.kb_facts(spark), brown,
+                           epochs=15, lr=0.25, joint=True)
+    return pipe, res
+
+
+def test_joint_trains_em_namespace(joint):
+    """EM-side feature/type embeddings exist and MOVED during joint
+    training (not stuck at the deterministic init)."""
+    import numpy as np
+
+    from usc_ds_relationextraction_spark.plans.training import init_matrix
+    _, res = joint
+    assert "feature_em" in res["embs"] and "type_em" in res["embs"]
+    rows = res["embs"]["feature_em"].limit(50).collect()
+    assert len(rows) > 0
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    init = init_matrix(ids, 50, "f")
+    got = np.array([r["vec"] for r in rows])
+    moved = np.abs(got - init).max(axis=1) > 1e-9
+    # the vast majority of sampled EM feature vectors received gradients
+    assert moved.mean() > 0.5, f"only {moved.mean():.0%} of EM vecs moved"
+
+
+def test_joint_f1_above_gate(joint):
+    _, res = joint
+    assert res["best"]["f1"] >= 0.85, res["best"]

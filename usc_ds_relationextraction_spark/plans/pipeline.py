@@ -206,11 +206,13 @@ class KGPipeline:
         g = self.run_graphs(turns, aliases, facts, brown)
         rm = g["rm"]
         if joint:
+            # full reference joint semantics (retype.cpp:149-161): EM-side
+            # PLE+SG nets train in the same epoch as RM nets + TransE
             trainer = CoTypeJointTrainer(self.spark, self.wh, "rm", lr=lr)
             embs = trainer.train(rm["mention_feature"], rm["feature_type"],
                                  rm["mention_type"],
                                  self.wh.read("triples_mention"),
-                                 epochs=epochs)
+                                 epochs=epochs, em_graphs=g["em"])
         else:
             trainer = CoTypeRMTrainer(self.spark, self.wh, "rm", lr=lr)
             embs = trainer.train(rm["mention_feature"], rm["feature_type"],

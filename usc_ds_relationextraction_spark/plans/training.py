@@ -12,12 +12,25 @@ NumPy) → ``groupBy(node).agg(elementwise sum)`` → apply.
 State placement (the scale decision):
  - **mention embeddings**: distributed (id, vec) DataFrame — 10^12
    mentions never touch the driver; per-epoch updates join-apply +
-   ``localCheckpoint`` to truncate lineage.
+   A/B parquet checkpoints to truncate lineage.
  - **feature/type embeddings**: driver NumPy matrices, broadcast per
    epoch — the reference holds exactly these in shared memory for the
-   same reason (small: |F|×50, |Y|×50).  Up to ~10^7 features this is
-   executor-resident; beyond that the lookup flips to a join (the grad
-   path already speaks DataFrames, only the snapshot changes).
+   same reason (small: |F|×50, |Y|×50).  The per-epoch gradient apply is
+   Arrow-batched (``toPandas`` → vectorized ``+=``), never a Row-object
+   ``collect()``.  ``SMALL_MATRIX_LIMIT`` guards the placement: beyond
+   ~10^7 nodes the broadcast+driver-apply flips to the join-based apply
+   (the same code path mentions already use — gradients stay DataFrames
+   end-to-end; only the lookup side changes, negatives pre-sampled as
+   edges instead of broadcast-CDF draws).
+
+Namespaces: the reference's joint mode interleaves the EM-side nets
+(PLE+SG over entity-mention graphs) with the RM-side nets and TransE in
+one epoch loop (``retype.cpp:149-161``).  Here each side is an
+*embedding namespace* — its own feature/type matrices and negative
+tables — and the unified edge table carries an ``ns`` column, so ONE
+mapInPandas pass per epoch still covers every objective of every
+namespace (mention embeddings are shared across namespaces; EM/RM
+mention ids are disjoint 60-bit key hashes).
 
 Objectives (CoType-RM, the reference's published variant; M6):
  - SGNS (LINE 2nd order) on mention–feature and feature–type graphs
@@ -28,6 +41,8 @@ Objectives (CoType-RM, the reference's published variant; M6):
  - PLE partial-label margin on mention–type (``hplelib.cpp:465-518``):
    pos = argmax score over candidate types, neg = argmax over
    non-candidates, hinge margin 1, L2 decay α.
+ - TransE margin loss over (em1, em2, rm) mention triples
+   (``hplelib.cpp:723-768,913-963``) in joint mode.
 
 Randomness: `pd.util.hash_pandas_object` over edge keys ⊕ (epoch, k) —
 platform-stable, partition-count independent → reproducible at any
@@ -47,6 +62,12 @@ from ..functions.hashing import h64
 from ..sources.catalog import Warehouse
 
 GRAD_SCHEMA = "node_set string, node_id long, grad array<double>, cnt double"
+
+# flip point for the feature/type matrices: rows×dim doubles ≈ 8 GB at
+# 2·10^7×50 — past this the broadcast snapshot + driver apply must become
+# a join-based lookup/apply (documented above).  Enforced, not aspirational:
+# _build_space raises so the misconfiguration fails loudly, not as an OOM.
+SMALL_MATRIX_LIMIT = 20_000_000
 
 
 def init_embeddings(nodes: DataFrame, id_col: str, dim: int = 50,
@@ -138,7 +159,7 @@ def _sgns_block(U: np.ndarray, u_ids, v_ids, w, V: np.ndarray, v_i2r,
 
 
 def _ple_block(M: np.ndarray, u_ids, cands, Y: np.ndarray, y_i2r,
-               y_ids, alpha: float) -> list[pd.DataFrame]:
+               y_ids, alpha: float, type_set: str) -> list[pd.DataFrame]:
     """PLE margin gradients (hplelib.cpp:465-518): pos = argmax over
     candidate types, neg = argmax over non-candidates, hinge margin 1,
     L2 decay α on the mention."""
@@ -157,7 +178,7 @@ def _ple_block(M: np.ndarray, u_ids, cands, Y: np.ndarray, y_i2r,
         gm = -alpha * M[i]
         if si[pos] - si[neg] < 1.0:  # margin violated
             gm = gm + (Y[pos] - Y[neg])
-            rows["node_set"] += ["type", "type"]
+            rows["node_set"] += [type_set, type_set]
             rows["node_id"] += [int(y_ids[pos]), int(y_ids[neg])]
             rows["grad"] += [M[i].copy(), -M[i]]
             rows["cnt"] += [1.0, 1.0]
@@ -174,42 +195,158 @@ def unified_grad_step(edges: DataFrame, bcast, epoch: int, negatives: int,
 
     Row kinds: 0 = SGNS mention–feature (u_vec column), 1 = SGNS
     feature–type (both sides from broadcast), 2 = PLE mention–type
-    (u_vec + cand_ids).  One UDF invocation per epoch keeps the per-epoch
-    Spark job count constant — the driver loop is the only iteration.
+    (u_vec + cand_ids).  Rows carry ``ns`` (embedding namespace, e.g.
+    'rm'/'em'); ``bcast.value`` maps each namespace to its
+    (f_i2r, F_mat, neg_f, y_i2r, Y_mat, neg_y, y_ids) snapshot.  One UDF
+    invocation per epoch covers every objective of every namespace —
+    the driver loop is the only iteration.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        f_i2r, F_mat, neg_f, y_i2r, Y_mat, neg_y, y_ids = bcast.value
+        spaces = bcast.value
         for b in batches:
             if len(b) == 0:
                 continue
             frames: list[pd.DataFrame] = []
-            k0 = b[b["kind"] == 0]
-            if len(k0):
-                U = np.stack(k0["u_vec"].values).astype(np.float64)
-                frames += _sgns_block(
-                    U, k0["u_id"].values, k0["v_id"].values,
-                    k0["w"].values.astype(np.float64), F_mat, f_i2r,
-                    neg_f[0], neg_f[1], "mention", "feature",
-                    epoch, negatives)
-            k1 = b[b["kind"] == 1]
-            if len(k1):
-                U = F_mat[_lookup(f_i2r, k1["u_id"].values)]
-                frames += _sgns_block(
-                    U, k1["u_id"].values, k1["v_id"].values,
-                    k1["w"].values.astype(np.float64), Y_mat, y_i2r,
-                    neg_y[0], neg_y[1], "feature", "type",
-                    epoch, negatives)
-            k2 = b[b["kind"] == 2]
-            if len(k2):
-                M = np.stack(k2["u_vec"].values).astype(np.float64)
-                frames += _ple_block(M, k2["u_id"].values,
-                                     k2["cand_ids"].values, Y_mat, y_i2r,
-                                     y_ids, alpha)
+            for ns, sp in spaces.items():
+                f_i2r, F_mat, neg_f, y_i2r, Y_mat, neg_y, y_ids = sp
+                nb = b[b["ns"] == ns]
+                if not len(nb):
+                    continue
+                k0 = nb[nb["kind"] == 0]
+                if len(k0):
+                    U = np.stack(k0["u_vec"].values).astype(np.float64)
+                    frames += _sgns_block(
+                        U, k0["u_id"].values, k0["v_id"].values,
+                        k0["w"].values.astype(np.float64), F_mat, f_i2r,
+                        neg_f[0], neg_f[1], "mention", f"feature@{ns}",
+                        epoch, negatives)
+                k1 = nb[nb["kind"] == 1]
+                if len(k1):
+                    U = F_mat[_lookup(f_i2r, k1["u_id"].values)]
+                    frames += _sgns_block(
+                        U, k1["u_id"].values, k1["v_id"].values,
+                        k1["w"].values.astype(np.float64), Y_mat, y_i2r,
+                        neg_y[0], neg_y[1], f"feature@{ns}", f"type@{ns}",
+                        epoch, negatives)
+                k2 = nb[nb["kind"] == 2]
+                if len(k2):
+                    M = np.stack(k2["u_vec"].values).astype(np.float64)
+                    frames += _ple_block(M, k2["u_id"].values,
+                                         k2["cand_ids"].values, Y_mat,
+                                         y_i2r, y_ids, alpha,
+                                         f"type@{ns}")
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
     return edges.mapInPandas(run, schema=GRAD_SCHEMA)
+
+
+# --------------------------------------------------------- driver-side state
+class _Space:
+    """Per-namespace driver state: feature/type matrices + neg tables."""
+
+    __slots__ = ("ns", "f_ids", "f_i2r", "F_mat", "neg_f",
+                 "y_ids", "y_i2r", "Y_mat", "neg_y")
+
+    def __init__(self, ns, f_ids, F_mat, neg_f, y_ids, Y_mat, neg_y):
+        self.ns = ns
+        self.f_ids, self.F_mat, self.neg_f = f_ids, F_mat, neg_f
+        self.y_ids, self.Y_mat, self.neg_y = y_ids, Y_mat, neg_y
+        self.f_i2r = {int(i): r for r, i in enumerate(f_ids)}
+        self.y_i2r = {int(i): r for r, i in enumerate(y_ids)}
+
+    def snapshot(self):
+        return (self.f_i2r, self.F_mat, self.neg_f,
+                self.y_i2r, self.Y_mat, self.neg_y, self.y_ids)
+
+    def targets(self) -> dict:
+        return {f"feature@{self.ns}": (self.F_mat, self.f_i2r),
+                f"type@{self.ns}": (self.Y_mat, self.y_i2r)}
+
+
+def _ids_pd(df: DataFrame, col: str) -> np.ndarray:
+    """Distinct ids → sorted int64 array via Arrow (no Row collect)."""
+    pdf = df.select(F.col(col).alias("id")).distinct().toPandas()
+    return np.sort(pdf["id"].to_numpy(dtype=np.int64))
+
+
+def _neg_table(graph: DataFrame, col: str):
+    """degree^0.75 inverse-CDF sampling table (A4/A5) — Arrow-fetched."""
+    pdf = graph.groupBy(col).agg(F.sum("w").alias("d")) \
+        .orderBy(col).toPandas()
+    ids = pdf[col].to_numpy(dtype=np.int64)
+    w = pdf["d"].to_numpy(dtype=np.float64) ** 0.75
+    cum = np.cumsum(w)
+    return ids, cum / cum[-1]
+
+
+def _build_space(ns: str, mention_feature: DataFrame,
+                 feature_type: DataFrame, mention_type: DataFrame,
+                 dim: int) -> _Space:
+    f_ids = _ids_pd(mention_feature.select("feature_id")
+                    .union(feature_type.select("feature_id")), "feature_id")
+    y_ids = _ids_pd(mention_type.select("type_id")
+                    .union(feature_type.select("type_id")), "type_id")
+    if (len(f_ids) + len(y_ids)) > SMALL_MATRIX_LIMIT:
+        raise ValueError(
+            f"namespace {ns}: {len(f_ids)}+{len(y_ids)} nodes exceeds "
+            f"SMALL_MATRIX_LIMIT={SMALL_MATRIX_LIMIT}; flip the "
+            "feature/type state to the join-based apply (see module doc)")
+    return _Space(ns, f_ids, init_matrix(f_ids, dim, "f"),
+                  _neg_table(mention_feature, "feature_id"),
+                  y_ids, init_matrix(y_ids, dim, "y"),
+                  _neg_table(feature_type, "type_id"))
+
+
+def _edge_tables(ns: str, mention_feature: DataFrame,
+                 feature_type: DataFrame, mention_type: DataFrame):
+    """(mention-anchored edges, feature-type edges) for one namespace.
+
+    v_id = 0 (not NULL) in PLE rows: a null in an int64 column degrades
+    the whole Arrow batch to float64 in pandas, corrupting 60-bit ids.
+    """
+    nsc = F.lit(ns).alias("ns")
+    mf = mention_feature.select(
+        F.lit(0).alias("kind"), F.col("mention_id").alias("u_id"),
+        F.col("feature_id").alias("v_id"), "w",
+        F.lit(None).cast("array<long>").alias("cand_ids"), nsc)
+    fy = feature_type.select(
+        F.lit(1).alias("kind"), F.col("feature_id").alias("u_id"),
+        F.col("type_id").alias("v_id"), "w",
+        F.lit(None).cast("array<long>").alias("cand_ids"), nsc)
+    cand = (mention_type.groupBy("mention_id")
+            .agg(F.collect_list("type_id").alias("cand_ids"))
+            .select(F.lit(2).alias("kind"),
+                    F.col("mention_id").alias("u_id"),
+                    F.lit(0).cast("long").alias("v_id"),
+                    F.lit(1.0).alias("w"), "cand_ids", nsc))
+    return mf.unionByName(cand), fy
+
+
+def _apply_small_grads(agg: DataFrame, lr: float, spaces: dict) -> None:
+    """Feature/type gradient apply — ONE Arrow `toPandas` per epoch, then
+    vectorized row-indexed `+=` into the driver matrices.  Zero Row-object
+    collect: at 10^6-10^7 nodes this is a few hundred MB through Arrow,
+    vs multi-GB of boxed Python lists through the old collect() path."""
+    targets: dict = {}
+    for sp in spaces.values():
+        targets.update(sp.targets())
+    pdf = agg.where(F.col("node_set").isin(*targets.keys())).toPandas()
+    for node_set, (mat, i2r) in targets.items():
+        sub = pdf[pdf["node_set"] == node_set]
+        if not len(sub):
+            continue
+        rows = np.fromiter((i2r.get(int(i), -1)
+                            for i in sub["node_id"].to_numpy()),
+                           dtype=np.int64, count=len(sub))
+        ok = rows >= 0
+        if not ok.any():
+            continue
+        G = np.stack(sub["grad"].to_numpy()[ok]).astype(np.float64)
+        c = sub["cnt"].to_numpy()[ok].astype(np.float64)
+        # node ids are unique after _agg_grads' groupBy → plain fancy-index
+        mat[rows[ok]] += lr * G / c[:, None]
 
 
 class CoTypeRMTrainer:
@@ -232,20 +369,45 @@ class CoTypeRMTrainer:
     def _name(self, s: str) -> str:
         return f"{self.prefix}_emb_{s}"
 
+    def _space_name(self, part: str, ns: str) -> str:
+        """Primary namespace keeps the legacy names (resume compat)."""
+        return self._name(part if ns == self.prefix else f"{part}_{ns}")
+
     def _matrix_df(self, ids: np.ndarray, mat: np.ndarray) -> DataFrame:
         rows = [(int(i), [float(x) for x in mat[r]])
                 for r, i in enumerate(ids)]
         return self.spark.createDataFrame(rows, "id long, vec array<float>")
 
     def _checkpoint(self, epoch: int, lr: float, emb_m: DataFrame,
-                    f_ids, F_mat, y_ids, Y_mat) -> DataFrame:
+                    spaces: dict) -> DataFrame:
         wh = self.wh
         emb_m = wh.write(self._name("mention"), emb_m)
-        wh.write(self._name("feature"), self._matrix_df(f_ids, F_mat))
-        wh.write(self._name("type"), self._matrix_df(y_ids, Y_mat))
+        for ns, sp in spaces.items():
+            wh.write(self._space_name("feature", ns),
+                     self._matrix_df(sp.f_ids, sp.F_mat))
+            wh.write(self._space_name("type", ns),
+                     self._matrix_df(sp.y_ids, sp.Y_mat))
         wh.write(self._name("meta"), self.spark.createDataFrame(
             [(epoch, float(lr))], "epoch int, lr double"))
         return emb_m
+
+    def _load_matrix(self, name: str, ids: np.ndarray, i2r: dict) -> np.ndarray:
+        pdf = self.wh.read(name).toPandas()
+        mat = np.zeros((len(ids), self.dim))
+        for nid, vec in zip(pdf["id"].to_numpy(), pdf["vec"].to_numpy()):
+            r = i2r.get(int(nid))
+            if r is not None:
+                mat[r] = vec
+        return mat
+
+    def _result(self, emb_m: DataFrame, spaces: dict) -> dict:
+        out = {"mention": emb_m}
+        for ns, sp in spaces.items():
+            fk = "feature" if ns == self.prefix else f"feature_{ns}"
+            yk = "type" if ns == self.prefix else f"type_{ns}"
+            out[fk] = self._matrix_df(sp.f_ids, sp.F_mat)
+            out[yk] = self._matrix_df(sp.y_ids, sp.Y_mat)
+        return out
 
     # ------------------------------------------------------------- train
     def train(self, mention_feature: DataFrame, feature_type: DataFrame,
@@ -254,77 +416,36 @@ class CoTypeRMTrainer:
         import time as _time
         spark, dim = self.spark, self.dim
         sc = spark.sparkContext
+        ns = self.prefix
 
-        # driver-side small matrices (features, types)
-        f_ids = np.sort(np.array(
-            [r["feature_id"] for r in mention_feature.select("feature_id")
-             .union(feature_type.select("feature_id")).distinct().collect()],
-            dtype=np.int64))
-        y_ids = np.sort(np.array(
-            [r["type_id"] for r in mention_type.select("type_id")
-             .union(feature_type.select("type_id")).distinct().collect()],
-            dtype=np.int64))
-        f_i2r = {int(i): r for r, i in enumerate(f_ids)}
-        y_i2r = {int(i): r for r, i in enumerate(y_ids)}
+        space = _build_space(ns, mention_feature, feature_type,
+                             mention_type, dim)
+        spaces = {ns: space}
 
         start_epoch = 0
         if resume and self.wh.exists(self._name("meta")):
             meta = self.wh.read(self._name("meta")).collect()[0]
             start_epoch = meta["epoch"] + 1
             emb_m = self.wh.read(self._name("mention"))
-            frows = self.wh.read(self._name("feature")).collect()
-            F_mat = np.zeros((len(f_ids), dim))
-            for r in frows:
-                F_mat[f_i2r[r["id"]]] = r["vec"]
-            yrows = self.wh.read(self._name("type")).collect()
-            Y_mat = np.zeros((len(y_ids), dim))
-            for r in yrows:
-                Y_mat[y_i2r[r["id"]]] = r["vec"]
+            space.F_mat = self._load_matrix(self._name("feature"),
+                                            space.f_ids, space.f_i2r)
+            space.Y_mat = self._load_matrix(self._name("type"),
+                                            space.y_ids, space.y_i2r)
         else:
             emb_m = init_embeddings(
                 mention_feature.select("mention_id").distinct(),
                 "mention_id", dim, "m")
-            F_mat = init_matrix(f_ids, dim, "f")
-            Y_mat = init_matrix(y_ids, dim, "y")
         if start_epoch >= epochs:
-            return {"mention": emb_m,
-                    "feature": self._matrix_df(f_ids, F_mat),
-                    "type": self._matrix_df(y_ids, Y_mat)}
-
-        # static per-run prep (negative tables from weighted degrees, A4/A5)
-        def neg_table(graph, col):
-            rows = graph.groupBy(col).agg(F.sum("w").alias("d")) \
-                .orderBy(col).collect()
-            ids = np.array([r[col] for r in rows], dtype=np.int64)
-            w = np.array([r["d"] for r in rows], dtype=np.float64) ** 0.75
-            cum = np.cumsum(w)
-            return ids, cum / cum[-1]
-
-        neg_f = neg_table(mention_feature, "feature_id")
-        neg_y = neg_table(feature_type, "type_id")
+            return self._result(emb_m, spaces)
 
         # unified static edge table: one UDF pass per epoch over all three
         # objectives (kind 0: SGNS M–F, 1: SGNS F–Y, 2: PLE M–Y); the F–Y
         # side needs no mention join (both endpoints live in broadcasts)
-        mf = mention_feature.select(
-            F.lit(0).alias("kind"), F.col("mention_id").alias("u_id"),
-            F.col("feature_id").alias("v_id"), "w",
-            F.lit(None).cast("array<long>").alias("cand_ids"))
-        fy = feature_type.select(
-            F.lit(1).alias("kind"), F.col("feature_id").alias("u_id"),
-            F.col("type_id").alias("v_id"), "w",
-            F.lit(None).cast("array<long>").alias("cand_ids"))
-        # v_id = 0 (not NULL): a null in an int64 column degrades the whole
-        # Arrow batch to float64 in pandas, corrupting 60-bit hash ids
-        cand = (mention_type.groupBy("mention_id")
-                .agg(F.collect_list("type_id").alias("cand_ids"))
-                .select(F.lit(2).alias("kind"),
-                        F.col("mention_id").alias("u_id"),
-                        F.lit(0).cast("long").alias("v_id"),
-                        F.lit(1.0).alias("w"), "cand_ids"))
-        m_edges = mf.unionByName(cand) \
-            .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                         "u_id").localCheckpoint(eager=True)
+        m_edges, fy = _edge_tables(ns, mention_feature, feature_type,
+                                   mention_type)
+        m_edges = m_edges.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            "u_id").localCheckpoint(eager=True)
         fy = fy.localCheckpoint(eager=True)
 
         # A/B on-disk checkpoints for the mention table: flat lineage,
@@ -339,8 +460,7 @@ class CoTypeRMTrainer:
             _t0 = _time.time()
             lr = max(self.lr0 * (1.0 - epoch / float(epochs)),
                      self.lr0 * 1e-4)
-            bcast = sc.broadcast((f_i2r, F_mat, neg_f, y_i2r, Y_mat,
-                                  neg_y, y_ids))
+            bcast = sc.broadcast({ns: space.snapshot()})
 
             m_named = emb_m.select(F.col("id").alias("u_id"),
                                    F.col("vec").alias("u_vec"))
@@ -350,14 +470,9 @@ class CoTypeRMTrainer:
             grads = unified_grad_step(with_vec, bcast, epoch, negatives, alpha)
             agg = _agg_grads(grads, dim).localCheckpoint(eager=True)
 
-            # apply: features/types on the driver (small), mentions via join
-            for r in agg.where(F.col("node_set").isin("feature", "type")) \
-                    .collect():
-                tgt, i2r = ((F_mat, f_i2r) if r["node_set"] == "feature"
-                            else (Y_mat, y_i2r))
-                row = i2r.get(r["node_id"])
-                if row is not None:
-                    tgt[row] += lr * np.asarray(r["grad"]) / r["cnt"]
+            # apply: features/types Arrow-batched on the driver (small),
+            # mentions via join (distributed)
+            _apply_small_grads(agg, lr, spaces)
 
             mg = agg.where(F.col("node_set") == "mention") \
                 .select(F.col("node_id").alias("id"), "grad", "cnt")
@@ -375,15 +490,12 @@ class CoTypeRMTrainer:
             bcast.unpersist()
 
             if (epoch + 1) % self.checkpoint_every == 0 or epoch == epochs - 1:
-                emb_m = self._checkpoint(epoch, lr, emb_m,
-                                         f_ids, F_mat, y_ids, Y_mat)
+                emb_m = self._checkpoint(epoch, lr, emb_m, spaces)
             if verbose:
                 print(f"[train {self.prefix}] epoch {epoch} lr={lr:.5f} "
                       f"wall={_time.time() - _t0:.1f}s", flush=True)
 
-        return {"mention": emb_m,
-                "feature": self._matrix_df(f_ids, F_mat),
-                "type": self._matrix_df(y_ids, Y_mat)}
+        return self._result(emb_m, spaces)
 
 
 # ---------------------------------------------------------------- joint mode
@@ -457,15 +569,19 @@ def corrupted_triples_simple(triples: DataFrame, epoch: int,
 
 
 class CoTypeJointTrainer(CoTypeRMTrainer):
-    """Joint mode (M1-M5): CoType-RM objectives + TransE coupling over the
+    """Joint mode (M1-M5): CoType objectives + TransE coupling over the
     (em1, em2, rm) mention-triple table (retype.cpp mode 'j').
 
-    EM and RM mention ids share one distributed embedding table (disjoint
-    hash id spaces); TransE is the only objective touching EM rows here —
-    the em-side feature nets run as a separate CoTypeRMTrainer('em') when
-    full parity is needed.  Objective mixing: the reference alias-samples
-    {1,1,transWeight} (retype.cpp:183-186); BCD runs every objective every
-    epoch — transWeight folds into the gradient scale.
+    Reference joint training interleaves the EM-side PLE+SG nets with the
+    RM nets and TransE in one epoch (``retype.cpp:149-161``).  Pass
+    ``em_graphs`` (mention_feature / feature_type / mention_type of the
+    entity-mention side) and those objectives join the SAME per-epoch
+    mapInPandas pass as an 'em' embedding namespace — separate
+    feature/type matrices + negative tables, shared distributed mention
+    table (EM/RM mention ids are disjoint key hashes; TransE couples the
+    two sides through it).  Objective mixing: the reference alias-samples
+    {1, 1, transWeight} (retype.cpp:183-186); BCD runs every objective
+    every epoch — transWeight folds into the gradient scale.
     """
 
     def __init__(self, *args, trans_weight: float = 1.0, **kw):
@@ -475,7 +591,9 @@ class CoTypeJointTrainer(CoTypeRMTrainer):
     def train(self, mention_feature: DataFrame, feature_type: DataFrame,
               mention_type: DataFrame, triples: DataFrame | None = None,
               epochs: int = 50, resume: bool = True,
-              verbose: bool = False) -> dict[str, DataFrame]:
+              verbose: bool = False,
+              em_graphs: dict[str, DataFrame] | None = None
+              ) -> dict[str, DataFrame]:
         if triples is None:
             return super().train(mention_feature, feature_type,
                                  mention_type, epochs, resume, verbose)
@@ -483,65 +601,45 @@ class CoTypeJointTrainer(CoTypeRMTrainer):
             F.col("em1_id").alias("h_id"), F.col("em2_id").alias("t_id"),
             F.col("rm_id").alias("r_id")).localCheckpoint(eager=True)
         # widen the mention id space: EM ids enter via the triple table
+        # (and via the EM nets' own graphs when em_graphs is given)
         extra = self._triples.select(F.col("h_id").alias("mention_id")) \
             .union(self._triples.select("t_id")) \
             .union(self._triples.select("r_id")).distinct()
         mf_ids = mention_feature.select("mention_id").distinct()
+        if em_graphs is not None:
+            mf_ids = mf_ids.union(
+                em_graphs["mention_feature"].select("mention_id")).distinct()
         self._all_mentions = mf_ids.union(extra).distinct()
         return self._train_joint(mention_feature, feature_type,
-                                 mention_type, epochs, resume, verbose)
+                                 mention_type, em_graphs, epochs, verbose)
 
     def _train_joint(self, mention_feature, feature_type, mention_type,
-                     epochs, resume, verbose):
-        """Same epoch loop as the base class plus a TransE pass whose
-        gradients merge into the one BCD apply."""
+                     em_graphs, epochs, verbose):
+        """Same epoch loop as the base class plus the EM namespace and a
+        TransE pass whose gradients merge into the one BCD apply."""
         import time as _time
         spark, dim = self.spark, self.dim
         sc = spark.sparkContext
+        ns = self.prefix
 
-        f_ids = np.sort(np.array(
-            [r["feature_id"] for r in mention_feature.select("feature_id")
-             .union(feature_type.select("feature_id")).distinct().collect()],
-            dtype=np.int64))
-        y_ids = np.sort(np.array(
-            [r["type_id"] for r in mention_type.select("type_id")
-             .union(feature_type.select("type_id")).distinct().collect()],
-            dtype=np.int64))
-        f_i2r = {int(i): r for r, i in enumerate(f_ids)}
-        y_i2r = {int(i): r for r, i in enumerate(y_ids)}
+        spaces = {ns: _build_space(ns, mention_feature, feature_type,
+                                   mention_type, dim)}
+        m_edges, fy = _edge_tables(ns, mention_feature, feature_type,
+                                   mention_type)
+        if em_graphs is not None:
+            spaces["em"] = _build_space(
+                "em", em_graphs["mention_feature"],
+                em_graphs["feature_type"], em_graphs["mention_type"], dim)
+            em_m, em_fy = _edge_tables(
+                "em", em_graphs["mention_feature"],
+                em_graphs["feature_type"], em_graphs["mention_type"])
+            m_edges = m_edges.unionByName(em_m)
+            fy = fy.unionByName(em_fy)
 
         emb_m = init_embeddings(self._all_mentions, "mention_id", dim, "m")
-        F_mat = init_matrix(f_ids, dim, "f")
-        Y_mat = init_matrix(y_ids, dim, "y")
-
-        def neg_table(graph, col):
-            rows = graph.groupBy(col).agg(F.sum("w").alias("d")) \
-                .orderBy(col).collect()
-            ids = np.array([r[col] for r in rows], dtype=np.int64)
-            w = np.array([r["d"] for r in rows], dtype=np.float64) ** 0.75
-            cum = np.cumsum(w)
-            return ids, cum / cum[-1]
-
-        neg_f = neg_table(mention_feature, "feature_id")
-        neg_y = neg_table(feature_type, "type_id")
-
-        mf = mention_feature.select(
-            F.lit(0).alias("kind"), F.col("mention_id").alias("u_id"),
-            F.col("feature_id").alias("v_id"), "w",
-            F.lit(None).cast("array<long>").alias("cand_ids"))
-        fy = feature_type.select(
-            F.lit(1).alias("kind"), F.col("feature_id").alias("u_id"),
-            F.col("type_id").alias("v_id"), "w",
-            F.lit(None).cast("array<long>").alias("cand_ids"))
-        cand = (mention_type.groupBy("mention_id")
-                .agg(F.collect_list("type_id").alias("cand_ids"))
-                .select(F.lit(2).alias("kind"),
-                        F.col("mention_id").alias("u_id"),
-                        F.lit(0).cast("long").alias("v_id"),
-                        F.lit(1.0).alias("w"), "cand_ids"))
-        m_edges = mf.unionByName(cand) \
-            .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                         "u_id").localCheckpoint(eager=True)
+        m_edges = m_edges.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            "u_id").localCheckpoint(eager=True)
         fy = fy.localCheckpoint(eager=True)
         ab = [self.wh.path(self._name("mention_a")),
               self.wh.path(self._name("mention_b"))]
@@ -552,8 +650,8 @@ class CoTypeJointTrainer(CoTypeRMTrainer):
             _t0 = _time.time()
             lr = max(self.lr0 * (1.0 - epoch / float(epochs)),
                      self.lr0 * 1e-4)
-            bcast = sc.broadcast((f_i2r, F_mat, neg_f, y_i2r, Y_mat,
-                                  neg_y, y_ids))
+            bcast = sc.broadcast({n: s.snapshot()
+                                  for n, s in spaces.items()})
             m_named = emb_m.select(F.col("id").alias("u_id"),
                                    F.col("vec").alias("u_vec"))
             with_vec = m_edges.join(m_named, on="u_id", how="left") \
@@ -564,12 +662,11 @@ class CoTypeJointTrainer(CoTypeRMTrainer):
 
             # TransE pass: corrupt, join the four vectors, sign-grad
             ct = corrupted_triples_simple(self._triples, epoch)
-            mv = emb_m
             tw = ct
             for cid, vname in (("h_id", "h_vec"), ("t_id", "t_vec"),
                                ("r_id", "r_vec"), ("tc_id", "tc_vec")):
-                mv_r = mv.select(F.col("id").alias(cid),
-                                 F.col("vec").alias(vname))
+                mv_r = emb_m.select(F.col("id").alias(cid),
+                                    F.col("vec").alias(vname))
                 tw = tw.join(mv_r, on=cid)
             g_tr = transe_step(tw, epoch)
             if self.trans_weight != 1.0:
@@ -579,13 +676,7 @@ class CoTypeJointTrainer(CoTypeRMTrainer):
 
             agg = _agg_grads(g_base.unionByName(g_tr), dim) \
                 .localCheckpoint(eager=True)
-            for r in agg.where(
-                    F.col("node_set").isin("feature", "type")).collect():
-                tgt, i2r = ((F_mat, f_i2r) if r["node_set"] == "feature"
-                            else (Y_mat, y_i2r))
-                row = i2r.get(r["node_id"])
-                if row is not None:
-                    tgt[row] += lr * np.asarray(r["grad"]) / r["cnt"]
+            _apply_small_grads(agg, lr, spaces)
 
             mg = agg.where(F.col("node_set") == "mention") \
                 .select(F.col("node_id").alias("id"), "grad", "cnt")
@@ -610,12 +701,9 @@ class CoTypeJointTrainer(CoTypeRMTrainer):
             agg.unpersist()
             bcast.unpersist()
             if (epoch + 1) % self.checkpoint_every == 0 or epoch == epochs - 1:
-                emb_m = self._checkpoint(epoch, lr, emb_m,
-                                         f_ids, F_mat, y_ids, Y_mat)
+                emb_m = self._checkpoint(epoch, lr, emb_m, spaces)
             if verbose:
                 print(f"[joint {self.prefix}] epoch {epoch} lr={lr:.5f} "
                       f"wall={_time.time() - _t0:.1f}s", flush=True)
 
-        return {"mention": emb_m,
-                "feature": self._matrix_df(f_ids, F_mat),
-                "type": self._matrix_df(y_ids, Y_mat)}
+        return self._result(emb_m, spaces)
