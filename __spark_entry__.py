@@ -446,9 +446,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     from usc_ds_relationextraction_spark.plans import (extended_queries,
                                                        parity_queries,
+                                                       reference_ops,
                                                        replay_queries)
     Q.update(extended_queries.queries())
     Q.update(parity_queries.queries())
+    Q.update(reference_ops.queries())
     Q.update(replay_queries.queries())
     return Q
 
@@ -685,8 +687,10 @@ FROM (
 """
     from usc_ds_relationextraction_spark.plans import (extended_queries,
                                                        parity_queries,
+                                                       reference_ops,
                                                        replay_queries)
     O.update(extended_queries.oracles())
     O.update(parity_queries.oracles())
+    O.update(reference_ops.oracles())
     O.update(replay_queries.oracles(FX01))
     return O
