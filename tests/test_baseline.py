@@ -1,0 +1,32 @@
+"""M9-lite regression check: the Spark-ML logistic baseline over the same
+feature rows the embedding trainer consumes must reach a competitive F1 —
+drift here flags a broken feature pipeline independent of the embedding
+path (the reference uses its classifier zoo the same way, SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from usc_ds_relationextraction_spark.plans.baselines import (
+    train_eval_logistic)
+from usc_ds_relationextraction_spark.plans.pipeline import KGPipeline
+from usc_ds_relationextraction_spark.sources import synthetic as syn
+
+
+@pytest.fixture(scope="module")
+def rm_rows(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("whb"))
+    turns = syn.transcripts(spark, 50)
+    brown = {r.word: r.cluster for r in syn.brown_clusters(spark).collect()}
+    pipe = KGPipeline(spark, wh)
+    pipe.run_graphs(turns, syn.kb_aliases(spark), syn.kb_facts(spark), brown)
+    return pipe.wh.read("rm_feature_rows")
+
+
+def test_logistic_baseline_f1(rm_rows):
+    m = train_eval_logistic(rm_rows)
+    assert m["pos_gt"] > 50
+    assert m["f1"] >= 0.85, m
+    assert m["n_classes"] >= 3
+    assert m["vocab"] > 100

@@ -71,3 +71,21 @@ def test_windowed_counts_stream_equals_batch(spark, tiny_corpus, tmp_path):
     got = {tuple(r) for r in streamed.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_join_variant_equals_map_variant(spark, tiny_corpus):
+    """The stream-static broadcast-join KB lookup (production default)
+    produces exactly the map-literal variant's triples — linking commutes
+    with pairing."""
+    got = {tuple(r) for r in
+           ingest.turn_local_triples_join(
+               tiny_corpus, syn.kb_aliases(spark), syn.kb_facts(spark))
+           .select("subj", "pred", "obj", "conv_id", "turn_idx")
+           .distinct().collect()}
+    am = ingest._alias_map(spark)
+    fm = ingest._fact_map(spark)
+    want = {tuple(r) for r in
+            ingest.turn_local_triples(tiny_corpus, am, fm)
+            .select("subj", "pred", "obj", "conv_id", "turn_idx")
+            .distinct().collect()}
+    assert got == want and len(got) > 0

@@ -2,11 +2,17 @@
 
 Design constraint: Structured Streaming append mode forbids the batch
 pipeline's per-sentence self-join (stream-stream).  The extraction is
-therefore re-expressed **turn-locally**: every turn row maps to its
-triples through array higher-order functions only — tokenize → chunk →
-entity-link (map literal; a stream-static broadcast join at real KB
-sizes) → within-array pair generation → fact lookup → explode.  Stateless,
-watermark-free, scales as a pure narrow map.
+therefore re-expressed **turn-locally**: tokenize → chunk → within-array
+pair generation (array higher-order functions, narrow) → KB lookup.  The
+KB lookup has two interchangeable implementations:
+
+ - ``turn_local_triples_join`` (default): stream-static broadcast joins
+   against the alias/fact DataFrames — legal in append mode, zero state,
+   KB size unbounded (Spark picks broadcast vs shuffle join itself).
+   Pairing happens BEFORE linking; that commutes because a triple needs
+   both ends linked.
+ - ``turn_local_triples``: alias/fact map literals baked into the plan —
+   join-free, only for fixture-scale KBs.
 
 Equivalence with the batch path is tested: pairing is within
 (turn, sentence) in both, so the streamed triples match ``triples_ds``
@@ -109,11 +115,85 @@ def turn_local_triples(turns: DataFrame, alias_map: Column,
     return fwd.unionByName(rev)
 
 
+def turn_local_pairs(turns: DataFrame) -> DataFrame:
+    """Chunk + within-sentence ordered pair generation over ALL NP chunks
+    — no KB reference at all.  Linking COMMUTES with pairing (a triple
+    needs both ends linked), so pair-then-join equals link-then-pair;
+    this is the stream side of the stream-static join variant."""
+    t = turns.withColumn("toks", tokens_col("text")) \
+        .withColumn("pos", pos_tags_col("toks")) \
+        .withColumn("chunks", np_chunks_col("toks", "pos"))
+    ann = F.transform(
+        "chunks",
+        lambda c: F.struct(
+            c["start"].alias("start"),
+            c["surface"].alias("surface"),
+            F.size(F.filter(F.slice(F.col("toks"), 1, c["start"]),
+                            lambda x: x.isin(*TERMINALS))).alias("sent_id"),
+        ))
+    t = t.withColumn("ems", ann)
+
+    def pairs_of(ems: Column) -> Column:
+        n = F.size(ems)
+        idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+        pair_lists = F.transform(idx, lambda i: F.transform(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
+            lambda j: F.when(
+                (i < j)
+                & (F.element_at(ems, i + 1)["sent_id"]
+                   == F.element_at(ems, j + 1)["sent_id"])
+                & (F.element_at(ems, i + 1)["start"]
+                   < F.element_at(ems, j + 1)["start"]),
+                F.struct(F.element_at(ems, i + 1).alias("a"),
+                         F.element_at(ems, j + 1).alias("b")))))
+        return F.filter(F.flatten(pair_lists), lambda p: p.isNotNull())
+
+    empty_t = ("array<struct<a:struct<start:int,surface:string,sent_id:int>,"
+               "b:struct<start:int,surface:string,sent_id:int>>>")
+    t = t.withColumn("pairs",
+                     F.when(F.size("ems") >= 2, pairs_of(F.col("ems")))
+                     .otherwise(F.array().cast(empty_t)))
+    carry = ["conv_id", "turn_idx"] + (["ts"] if "ts" in turns.columns else [])
+    return t.select(*carry, F.explode("pairs").alias("p"))
+
+
+def turn_local_triples_join(turns: DataFrame, aliases: DataFrame,
+                            facts: DataFrame) -> DataFrame:
+    """Stream-static broadcast-join variant of :func:`turn_local_triples`:
+    the KB dimensions stay DataFrames (any size; Spark broadcasts or
+    shuffle-joins them by its own sizing), never driver map literals — the
+    production default.  Three stream-static inner joins, all legal in
+    append mode with zero state: a-end alias, b-end alias, bidirectional
+    fact lookup."""
+    p = turn_local_pairs(turns)
+    carry = [c for c in p.columns if c != "p"]
+    ala = aliases.select(F.col("alias").alias("_aa"),
+                         F.col("entity_id").alias("ent_a"))
+    alb = aliases.select(F.col("alias").alias("_ab"),
+                         F.col("entity_id").alias("ent_b"))
+    p = p.join(F.broadcast(ala), F.col("p.a.surface") == F.col("_aa"))
+    p = p.join(F.broadcast(alb), F.col("p.b.surface") == F.col("_ab"))
+    both = facts.select(F.col("subj_id").alias("ent_a"),
+                        F.col("obj_id").alias("ent_b"),
+                        "relation", F.lit(True).alias("is_fwd")) \
+        .unionByName(facts.select(F.col("obj_id").alias("ent_a"),
+                                  F.col("subj_id").alias("ent_b"),
+                                  "relation", F.lit(False).alias("is_fwd")))
+    j = p.join(F.broadcast(both), on=["ent_a", "ent_b"])
+    return j.select(
+        F.when(F.col("is_fwd"), F.col("p.a.surface"))
+         .otherwise(F.col("p.b.surface")).alias("subj"),
+        F.col("relation").alias("pred"),
+        F.when(F.col("is_fwd"), F.col("p.b.surface"))
+         .otherwise(F.col("p.a.surface")).alias("obj"),
+        *carry)
+
+
 def stream_triples(spark: SparkSession, source_dir: str,
                    checkpoint_dir: str, out_dir: str,
                    schema: str = ("conv_id string, turn_idx int, role string,"
                                   " text string, tool string, ts timestamp"),
-                   available_now: bool = True):
+                   available_now: bool = True, kb_join: bool = True):
     """readStream(parquet dir) → turn-local extraction → parquet sink.
 
     ``availableNow`` processes the backlog then stops (the testable mode);
@@ -123,8 +203,13 @@ def stream_triples(spark: SparkSession, source_dir: str,
     """
     stream = (spark.readStream.schema(schema).format("parquet")
               .load(source_dir))
-    triples = turn_local_triples(stream, _alias_map(spark),
-                                 _fact_map(spark))
+    if kb_join:
+        triples = turn_local_triples_join(stream, syn.kb_aliases(spark),
+                                          syn.kb_facts(spark))
+    else:
+        # map-literal fallback: join-free plan, fine for fixture-sized KBs
+        triples = turn_local_triples(stream, _alias_map(spark),
+                                     _fact_map(spark))
     # streaming plans cannot use distinct(); drop it by re-deriving:
     writer = (triples.select("subj", "pred", "obj", "conv_id", "turn_idx")
               .writeStream.format("parquet")
@@ -172,8 +257,8 @@ def stream_windowed_counts(spark: SparkSession, source_dir: str,
     watermark finalizes them)."""
     stream = (spark.readStream.schema(schema).format("parquet")
               .load(source_dir))
-    triples = turn_local_triples(stream, _alias_map(spark),
-                                 _fact_map(spark))
+    triples = turn_local_triples_join(stream, syn.kb_aliases(spark),
+                                      syn.kb_facts(spark))
     agg = windowed_triple_counts(triples, window, watermark)
     return (agg.writeStream.format("memory").queryName(query_name)
             .outputMode("complete").trigger(availableNow=True).start())
