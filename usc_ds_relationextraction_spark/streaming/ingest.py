@@ -198,8 +198,10 @@ def stream_triples(spark: SparkSession, source_dir: str,
 
     ``availableNow`` processes the backlog then stops (the testable mode);
     without it the query tails the directory.  Note: the final .distinct()
-    of the batch path is dropped here (stateless streaming) — exact-once
-    dedup happens downstream at the Iceberg MERGE/compaction layer.
+    of the batch path is dropped here (stateless streaming) — exactly-once
+    dedup is ``sources.catalog.streaming_dedup_sink`` (foreachBatch:
+    Iceberg MERGE INTO, or the parquet anti-join twin tested in
+    tests/test_iceberg.py).
     """
     stream = (spark.readStream.schema(schema).format("parquet")
               .load(source_dir))
