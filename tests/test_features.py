@@ -119,3 +119,49 @@ def test_rm_em_type_feature():
                                   (4, 6, ["/organization", "/org2"])])
     assert "EM1_TYPE_/person" in feats
     assert "EM2_TYPE_/organization" in feats and "EM2_TYPE_/org2" in feats
+
+
+def test_dep_pattern_arcs_golden():
+    """F13/F23 approximation: arcs + reference emission format, golden."""
+    from usc_ds_relationextraction_spark.functions.dependencies import (
+        dep_features_py, pattern_arcs_py)
+    toks = ["Alice", "Smith", "works", "at", "Acme", "Corp", "."]
+    pos = ["NNP", "NNP", "VBZ", "IN", "NNP", "NNP", "."]
+    arcs = pattern_arcs_py(toks, pos)
+    assert ("nn", 1, 0) in arcs           # Alice <-nn- Smith
+    assert ("nsubj", 2, 1) in arcs        # Smith -nsubj-> works
+    assert ("prep_at", 2, 4) in arcs      # works -prep_at-> Acme
+    assert ("nn", 5, 4) in arcs           # Acme <-nn- Corp
+    # mention "Alice Smith" = [0, 2): nn arc internal (gov+dep inside);
+    # nsubj leaves the mention at Smith -> emits DEP_dep with gov=works
+    feats = dep_features_py(toks, pos, arcs, 0, 2)
+    assert "DEP_dep:nsubj:work=V" in feats
+    assert "DEP_gov:nn:Alice=N" in feats  # Smith governs Alice (inside)
+    # mention "Acme Corp" = [4, 6): prep arc enters at Acme
+    feats2 = dep_features_py(toks, pos, arcs, 4, 6)
+    assert "DEP_dep:prep_at:work=V" in feats2
+
+
+def test_dep_accept_filters():
+    from usc_ds_relationextraction_spark.functions.dependencies import (
+        accept_dep, accept_pos)
+    assert accept_dep("prep_of") and accept_dep("nsubj")
+    assert not accept_dep("det")
+    assert accept_pos("NNP") and accept_pos("VBD")
+    assert not accept_pos("JJ") and not accept_pos(".")
+
+
+def test_rm_dep_features_prefixing(spark):
+    from pyspark.sql import functions as F
+    from usc_ds_relationextraction_spark.functions.dependencies import (
+        make_rm_dep_features_udf)
+    df = spark.createDataFrame(
+        [(["Alice", "Smith", "works", "at", "Acme", "Corp", "."],
+          ["NNP", "NNP", "VBZ", "IN", "NNP", "NNP", "."], 0, 2, 4, 6)],
+        "toks array<string>, pos array<string>, s1 int, e1 int, "
+        "s2 int, e2 int")
+    udf = make_rm_dep_features_udf()
+    feats = df.select(udf("toks", "pos", "s1", "e1", "s2", "e2")
+                      .alias("f")).collect()[0]["f"]
+    assert "DEP_EM1_dep:nsubj:work=V" in feats
+    assert "DEP_EM2_dep:prep_at:work=V" in feats

@@ -254,6 +254,84 @@ FROM w
 """
 
 
+# ------------------------------------------------------------ F13/F23
+def f13_dep_features(spark: SparkSession, sf: str) -> DataFrame:
+    """F13/F23 (pattern-arc approximation, functions/dependencies.py):
+    the real pandas UDF over NP-chunk mentions, byte-checked against an
+    independent SQL arc derivation — reference emission format
+    DEP_gov:/DEP_dep: with the N/V + accepted-type filters."""
+    from ..functions.dependencies import make_dep_features_udf
+    e = _entry()
+    m = e._mentions_df(spark, sf).select("conv_id", "turn_idx",
+                                         "start", "end")
+    tt = e._turn_tokens(spark, sf).select("conv_id", "turn_idx",
+                                          "toks", "pos")
+    j = m.join(tt, ["conv_id", "turn_idx"])
+    udf = make_dep_features_udf()
+    f = j.select("conv_id", "turn_idx", "start", "end",
+                 F.explode(udf("toks", "pos", "start", "end"))
+                 .alias("feature"))
+    return f.groupBy("conv_id", "turn_idx", "start", "end", "feature") \
+        .agg(F.count("*").alias("n"))
+
+
+def _f13_sql(e) -> str:
+    from .parity_queries import _sql_lems
+    return f"""
+WITH {e._sql_mentions().lstrip()},
+{_sql_lems()},
+nbr AS (
+  SELECT conv_id, turn_idx, pos, token, tag,
+         lead(tag) OVER w AS tag_n,
+         lag(tag) OVER w AS tag_p
+  FROM lems
+  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY pos)
+),
+arcs AS (
+  SELECT conv_id, turn_idx, 'amod' AS dt, pos + 1 AS gov, pos AS dep
+  FROM nbr WHERE tag LIKE 'JJ%' AND tag_n LIKE 'N%'
+  UNION ALL
+  SELECT conv_id, turn_idx, 'nn', pos + 1, pos
+  FROM nbr WHERE tag LIKE 'N%' AND tag_n LIKE 'N%'
+  UNION ALL
+  SELECT conv_id, turn_idx, 'nsubj', pos + 1, pos
+  FROM nbr WHERE tag LIKE 'N%' AND tag_n LIKE 'V%'
+  UNION ALL
+  SELECT conv_id, turn_idx, 'dobj', pos, pos + 1
+  FROM nbr WHERE tag LIKE 'V%' AND tag_n LIKE 'N%'
+  UNION ALL
+  SELECT conv_id, turn_idx, 'prep_' || lower(token), pos - 1, pos + 1
+  FROM nbr WHERE tag = 'IN' AND tag_n LIKE 'N%'
+        AND (tag_p LIKE 'N%' OR tag_p LIKE 'V%')
+),
+govf AS (
+  SELECT m.conv_id, m.turn_idx, m.start, m."end",
+         'DEP_gov:' || a.dt || ':' || l.lemma || '='
+           || substr(l.tag, 1, 1) AS feature
+  FROM mentions m
+  JOIN arcs a ON a.conv_id = m.conv_id AND a.turn_idx = m.turn_idx
+             AND a.gov BETWEEN m.start + 1 AND m."end"
+  JOIN lems l ON l.conv_id = a.conv_id AND l.turn_idx = a.turn_idx
+             AND l.pos = a.dep
+  WHERE substr(l.tag, 1, 1) IN ('N', 'V')
+),
+depf AS (
+  SELECT m.conv_id, m.turn_idx, m.start, m."end",
+         'DEP_dep:' || a.dt || ':' || l.lemma || '='
+           || substr(l.tag, 1, 1) AS feature
+  FROM mentions m
+  JOIN arcs a ON a.conv_id = m.conv_id AND a.turn_idx = m.turn_idx
+             AND a.dep BETWEEN m.start + 1 AND m."end"
+  JOIN lems l ON l.conv_id = a.conv_id AND l.turn_idx = a.turn_idx
+             AND l.pos = a.gov
+  WHERE substr(l.tag, 1, 1) IN ('N', 'V')
+)
+SELECT conv_id, turn_idx, start, "end", feature, COUNT(*) AS n
+FROM (SELECT * FROM govf UNION ALL SELECT * FROM depf)
+GROUP BY conv_id, turn_idx, start, "end", feature
+"""
+
+
 # ------------------------------------------------------------ registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -261,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_mention_emb_mean": a9_mention_emb_mean,
         "m8_none_fallback": m8_none_fallback,
         "a5_cumulative_table": a5_cumulative_table,
+        "f13_dep_features": f13_dep_features,
     }
 
 
@@ -271,4 +350,5 @@ def oracles() -> dict[str, str]:
         "a9_mention_emb_mean": _a9_sql(),
         "m8_none_fallback": _m8_sql(),
         "a5_cumulative_table": _A5_SQL,
+        "f13_dep_features": _f13_sql(e),
     }
