@@ -180,15 +180,20 @@ def main() -> None:
     thr_lo = n_turns / t_lo
     thr_hi = n_turns / t_hi
     eff = (thr_hi / thr_lo) / (hi / lo)
+    # stable key names regardless of the chosen levels (JSONL consumers
+    # must not have to parse level numbers out of key strings); the
+    # levels themselves are data
     out = {
         "stage": STAGE,
         "n_convs": N_CONVS, "n_turns": n_turns,
-        f"wall_{lo}c_sec": round(t_lo, 2),
-        f"wall_{hi}c_sec": round(t_hi, 2),
-        f"turns_per_sec_{lo}c": round(thr_lo, 1),
-        f"turns_per_sec_{hi}c": round(thr_hi, 1),
-        f"speedup_{lo}_to_{hi}": round(thr_hi / thr_lo, 3),
+        "levels": [lo, hi],
+        "wall_lo_sec": round(t_lo, 2),
+        "wall_hi_sec": round(t_hi, 2),
+        "turns_per_sec_lo": round(thr_lo, 1),
+        "turns_per_sec_hi": round(thr_hi, 1),
+        "speedup": round(thr_hi / thr_lo, 3),
         "scaling_efficiency_Nto4N": round(eff, 3),
+        "authoritative": True,
     }
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_SCALING.jsonl"), "a") as f:

@@ -277,9 +277,9 @@ FEATURE_KEEP_RE = (
 
 def _em_feature_rows(spark: SparkSession, sf: str) -> DataFrame:
     """REAL pandas-UDF feature extraction over NP-chunk mentions, filtered
-    to the SQL-replicable families (unigram/positional; the *GRM_* bigram
-    and BROWN_ families ride the same lemma pipeline and are covered by
-    golden tests in tests/test_features.py).
+    to the families FEATURE_KEEP_RE names — which INCLUDES the GRM_*
+    bigram family (the generated SQL twin covers it; golden tests in
+    tests/test_features.py additionally pin the byte formats).
 
     Uses the fused chunk+featurize UDF: each turn's (tokens, pos) crosses
     Arrow exactly once and is visited exactly once — no join, no
@@ -774,8 +774,17 @@ ht{side} AS (
 
 def _rm_feature_strings_sql(e) -> str:
     """CTE chain ending in ``rfeats(<7-key>, feature)`` — independent SQL
-    formulation of the RM families F1-F4, F6-F10 (bigrams/Brown excluded,
-    same rationale as the EM twin)."""
+    formulation of the RM families F1-F11 INCLUDING the GRM_* bigram and
+    BROWN_* cluster families (they ride the same lemma CTEs).
+
+    ORDERING INVARIANT: this oracle hard-assumes em1 precedes em2 — the
+    between-token CTE spans ``em1_end+1 .. em2_start``, EM1_BEFORE_EM2 is
+    emitted unconditionally, and there is no EM2_BEFORE_EM1 / EM2_IN_EM1
+    SQL arm.  That matches ``_pairs_df``, which enforces
+    ``em1_start < em2_start``; if pair generation ever emits reversed
+    pairs, this oracle diverges SILENTLY — extend the rfeats arms first.
+    (The Spark UDF itself handles both orders; tests/test_features.py
+    covers the reversed branches.)"""
     ctx = []
     for side in ("1", "2"):
         s, e_ = f"em{side}_start", f"em{side}_end"
