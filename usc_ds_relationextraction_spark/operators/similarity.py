@@ -94,6 +94,67 @@ def ann_topk_via_lsh(emb: DataFrame, dim: int, n_queries: int = 10,
         .where(F.col("rk") <= k)
 
 
+def embedding_near_dup_pairs(emb: DataFrame, dim: int, planes: int = 6,
+                             tau_milli: int = 950,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the scale
+    shape: candidates only within a bucket, never all-pairs).
+
+    The cosine threshold is verified in EXACT integer arithmetic —
+    ``dot > 0  AND  dot²·10⁶ ≥ τ²·‖a‖²·‖b‖²`` — which is algebraically
+    ``cos(a,b) ≥ τ/1000`` with zero float comparisons.  Vectors are
+    quantized at ×100 (not ×1000) so every product stays under 2⁶³:
+    dot ≤ dim·10⁴ → dot²·10⁶ ≤ 4.1·10¹⁷ at dim 64.  The reported
+    cos_milli uses sqrt/division, both IEEE-correctly-rounded → still
+    engine-identical."""
+    q100 = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 100 + 0.5).cast("bigint"))
+    b = lsh_buckets(emb, dim, planes, id_col, vec_col)
+    base = emb.select(F.col(id_col).alias("vec_id"), q100.alias("q")) \
+        .join(b, on="vec_id") \
+        .withColumn("n2", int_dot(F.col("q"), F.col("q")))
+    a = base.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"),
+                    F.col("n2").alias("n2a"), "bucket")
+    c = base.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"),
+                    F.col("n2").alias("n2b"), "bucket")
+    pairs = a.join(c, on="bucket").where(F.col("id_a") < F.col("id_b"))
+    dot = int_dot(F.col("qa"), F.col("qb"))
+    scored = pairs.select("id_a", "id_b", dot.alias("dot"), "n2a", "n2b")
+    keep = (F.col("dot") > 0) & (
+        F.col("dot") * F.col("dot") * F.lit(1000000)
+        >= F.lit(tau_milli * tau_milli) * F.col("n2a") * F.col("n2b"))
+    return scored.where(keep).select(
+        "id_a", "id_b",
+        F.floor(F.col("dot") * 1000
+                / F.sqrt((F.col("n2a") * F.col("n2b")).cast("double")))
+        .cast("bigint").alias("cos_milli"))
+
+
+def ann_topk_ivf(emb: DataFrame, dim: int, n_queries: int = 10, k: int = 5,
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat ANN (nprobe=1): coarse codebook = per-label centroids (a
+    deterministic stand-in for k-means — same plan shape), each vector
+    assigned to its argmax-dot cell, a query probes ONLY its own cell.
+    At scale: the centroid table broadcasts, cell assignment is a narrow
+    map, and the per-cell candidate join replaces the full crossJoin —
+    the classic IVF recall/cost trade."""
+    assign = centroid_assign(emb, dim, vec_col) \
+        .select("vec_id", F.col("assigned_label").alias("cell"))
+    base = emb.select("vec_id", quantized(vec_col).alias("q")) \
+        .join(assign, on="vec_id")
+    qs = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), "cell")
+    cand = qs.join(base.withColumnRenamed("vec_id", "nn_id"), on="cell") \
+        .where(F.col("query_id") != F.col("nn_id"))
+    scored = cand.select("query_id", "nn_id",
+                         int_dot(F.col("qq"), F.col("q")).alias("qdot"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.col("nn_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("int")) \
+        .where(F.col("rk") <= k)
+
+
 def label_centroids(emb: DataFrame, dim: int, out_dims: int = 4,
                     vec_col: str = "embedding") -> DataFrame:
     """A9 double: per-label mean embedding, integer-milli components."""

@@ -21,6 +21,11 @@ from ..operators import dedup, multimodal, similarity
 EMB_DIM = 64
 N_BITS_SIMHASH = 16
 N_PLANES = 6
+# embedding near-dup cosine threshold (milli).  Production near-dup runs
+# at ~0.95; the synthetic embeddings are near-orthogonal (max pairwise
+# cosine ≈ 0.51 at sf0.01), so the gate uses a threshold low enough that
+# the integer-exact verify arm actually fires on nonempty candidates.
+TAU_MILLI = 250
 
 
 def _h_sql(expr: str) -> str:
@@ -52,6 +57,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, sf, "embeddings"), EMB_DIM, planes=N_PLANES)
     Q["ann_topk_lsh"] = lambda s, sf: similarity.ann_topk_via_lsh(
         _t(s, sf, "embeddings"), EMB_DIM, planes=N_PLANES)
+    Q["dedup_embedding_cosine"] = lambda s, sf: \
+        similarity.embedding_near_dup_pairs(
+            _t(s, sf, "embeddings"), EMB_DIM, planes=N_PLANES,
+            tau_milli=TAU_MILLI)
+    Q["ann_topk_ivf"] = lambda s, sf: similarity.ann_topk_ivf(
+        _t(s, sf, "embeddings"), EMB_DIM)
     Q["a9_label_centroids"] = lambda s, sf: similarity.label_centroids(
         _t(s, sf, "embeddings"), EMB_DIM)
     Q["j7_centroid_assign"] = lambda s, sf: similarity.centroid_assign(
@@ -264,6 +275,38 @@ SELECT query_id, nn_id, qdot, CAST(rk AS INT) AS rk FROM (
 ) WHERE rk <= 5
 """
 
+    dot100 = (f"CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+              f" i -> a.q[i] * b.q[i])) AS BIGINT)")
+    O["dedup_embedding_cosine"] = f"""WITH b0 AS (
+  SELECT vec_id, {qexpr} AS q FROM embeddings
+),
+bk AS (SELECT vec_id, CAST({bucket} AS INT) AS bucket FROM b0),
+b100 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5)
+                                  AS BIGINT)) AS q
+  FROM embeddings
+),
+base AS (
+  SELECT b100.vec_id, q, bucket,
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                                      i -> q[i] * q[i])) AS BIGINT) AS n2
+  FROM b100 JOIN bk ON b100.vec_id = bk.vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {dot100} AS dot,
+         a.n2 AS n2a, b.n2 AS n2b
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       CAST(floor(dot * 1000 / sqrt(CAST(n2a * n2b AS DOUBLE))) AS BIGINT)
+         AS cos_milli
+FROM pairs
+WHERE dot > 0
+  AND dot * dot * 1000000 >= {TAU_MILLI * TAU_MILLI} * n2a * n2b
+"""
+
     sums4 = ", ".join(f"SUM(q[{i + 1}]) AS s{i}" for i in range(4))
     cents4 = ", ".join(
         f"CAST(floor(s{i} * 1000.0 / n) AS BIGINT) AS c{i}" for i in range(4))
@@ -296,6 +339,47 @@ SELECT vec_id, label, c_label AS assigned_label, qdot FROM (
                                ORDER BY qdot DESC, c_label) AS rk
   FROM scored
 ) WHERE rk = 1
+"""
+
+    O["ann_topk_ivf"] = f"""WITH base0 AS (
+  SELECT vec_id, label, {qexpr} AS q FROM embeddings
+),
+g AS (SELECT label AS c_label, COUNT(*) AS n, {sums64}
+      FROM base0 GROUP BY label),
+cent AS (SELECT c_label, {clist} AS cvec FROM g),
+ascore AS (
+  SELECT b.vec_id, c.c_label,
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                                      i -> b.q[i] * c.cvec[i])) AS BIGINT)
+           AS qdot
+  FROM base0 b CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, c_label AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY qdot DESC, c_label) AS rk
+    FROM ascore
+  ) WHERE rk = 1
+),
+base AS (
+  SELECT b.vec_id, b.q, a.cell FROM base0 b
+  JOIN assign a ON b.vec_id = a.vec_id
+),
+qs AS (
+  SELECT vec_id AS query_id, q AS qq, cell FROM base WHERE vec_id < 10
+),
+cand AS (
+  SELECT qs.query_id, b.vec_id AS nn_id,
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                                      i -> qs.qq[i] * b.q[i])) AS BIGINT)
+           AS qdot
+  FROM qs JOIN base b ON qs.cell = b.cell AND qs.query_id <> b.vec_id
+)
+SELECT query_id, nn_id, qdot, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qdot DESC, nn_id) AS rk
+  FROM cand
+) WHERE rk <= 5
 """
 
     O["mm_binary_stats"] = """
