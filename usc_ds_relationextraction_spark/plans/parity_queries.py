@@ -270,6 +270,35 @@ def p3_span_alignment(spark: SparkSession, sf: str) -> DataFrame:
         (F.element_at("hits", 1) - 1).cast("int").alias("first_start"))
 
 
+def p3_span_alignment_all(spark: SparkSession, sf: str) -> DataFrame:
+    """P3 resume-after-match variant (nlp_parse.py:82-96): repeated
+    identical mention strings in one turn take SUCCESSIVE occurrences —
+    the k-th request for an alias resumes searching after the (k-1)-th
+    match.  Enumerating every occurrence with its ordinal is exactly that
+    assignment table (occ_idx k ↔ k-th resumed search), same plan shape
+    as the first-occurrence query plus one posexplode."""
+    e = _entry()
+    t = e._fx(spark, sf, "transcripts")
+    tt = t.select("conv_id", "turn_idx", tokens_col("text").alias("toks"))
+    al = e._fx(spark, sf, "kb_aliases").select("alias").distinct() \
+        .withColumn("atoks", tokens_col("alias"))
+    j = tt.join(F.broadcast(al), F.arrays_overlap("toks", "atoks"))
+    k, n = F.size("atoks"), F.size("toks")
+    hits = F.when(
+        n >= k,
+        F.filter(F.sequence(F.lit(1), n - k + 1),
+                 lambda i: F.slice("toks", i, k) == F.col("atoks")),
+    ).otherwise(F.array().cast("array<int>"))
+    out = j.select("conv_id", "turn_idx", "alias", hits.alias("hits")) \
+        .where(F.size("hits") > 0)
+    return out.select(
+        "conv_id", "turn_idx", "alias",
+        F.posexplode("hits").alias("occ0", "pos1")
+    ).select("conv_id", "turn_idx", "alias",
+             (F.col("occ0") + 1).cast("int").alias("occ_idx"),
+             (F.col("pos1") - 1).cast("int").alias("start"))
+
+
 # ---------------------------------------------------------------- features
 FEATURE_KEEP_RE = (
     "^(HEAD_|TKN_|POS_|SHAPE_|LENGTH_|CHAR_|CTXT_LEFT_|CTXT_RIGHT_|GRM_)")
@@ -494,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_unicode_norm": p2_unicode_norm,
         "p6_lemma": p6_lemma,
         "p3_span_alignment": p3_span_alignment,
+        "p3_span_alignment_all": p3_span_alignment_all,
         "em_feature_strings": em_feature_strings,
         "rm_feature_strings": rm_feature_strings,
         "a3_cooccur_real": a3_cooccur_real,
@@ -575,6 +605,30 @@ hits AS (
 )
 SELECT conv_id, turn_idx, alias, CAST(hs[1] - 1 AS INT) AS first_start
 FROM hits WHERE len(hs) > 0
+"""
+
+    O["p3_span_alignment_all"] = f"""
+WITH turns AS (
+  SELECT conv_id, turn_idx,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM {e._fx_sql('transcripts')}
+),
+al AS (
+  SELECT DISTINCT alias,
+         list_filter(string_split(alias, ' '), t -> t <> '') AS atoks
+  FROM {e._fx_sql('kb_aliases')}
+),
+hits AS (
+  SELECT t.conv_id, t.turn_idx, a.alias,
+         list_filter(generate_series(1, len(t.toks) - len(a.atoks) + 1),
+                     i -> list_slice(t.toks, i, i + len(a.atoks) - 1)
+                          = a.atoks) AS hs
+  FROM turns t JOIN al a ON list_has_any(t.toks, a.atoks)
+)
+SELECT conv_id, turn_idx, alias, CAST(i AS INT) AS occ_idx,
+       CAST(hs[i] - 1 AS INT) AS start
+FROM hits, UNNEST(generate_series(1, len(hs))) AS u(i)
+WHERE len(hs) > 0
 """
 
     O["em_feature_strings"] = _feature_strings_sql(e) + """
