@@ -86,13 +86,15 @@ def _linked_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     ems = _linked_df(spark, sf_dir)
-    spans = ems.select("conv_id", "turn_idx", "sent_id",
-                       "start", "end", "surface").distinct()
+    # span ordinal within the sentence: dense_rank over the per-entity
+    # rows collapses same-start duplicates (one chunk per start by
+    # construction) to one rank — equivalent to rank() over DISTINCT
+    # spans, but evaluates the expensive linked-mentions subtree ONCE
+    # instead of twice (no spans.distinct + join-back).  The DuckDB
+    # oracle keeps the distinct-spans formulation: two independent
+    # derivations agreeing is the stronger check.
     w = Window.partitionBy("conv_id", "turn_idx", "sent_id").orderBy("start")
-    spans = spans.withColumn("em_rank", F.rank().over(w))
-    e = spans.join(ems.select("conv_id", "turn_idx", "sent_id", "start",
-                              "entity_id"),
-                   on=["conv_id", "turn_idx", "sent_id", "start"])
+    e = ems.withColumn("em_rank", F.dense_rank().over(w))
     a = e.select("conv_id", "turn_idx", "sent_id",
                  F.col("start").alias("em1_start"),
                  F.col("end").alias("em1_end"),
