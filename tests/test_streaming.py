@@ -89,3 +89,41 @@ def test_join_variant_equals_map_variant(spark, tiny_corpus):
             .select("subj", "pred", "obj", "conv_id", "turn_idx")
             .distinct().collect()}
     assert got == want and len(got) > 0
+
+
+def test_stateful_entity_tracking(spark, tiny_corpus, tmp_path):
+    """applyInPandasWithState: per-conversation entity sets accumulate
+    across micro-batches; the summed n_new per conversation equals the
+    batch-computed distinct entity count exactly."""
+    from pyspark.sql import functions as F
+    src = str(tmp_path / "ssrc")
+    tiny_corpus.repartition(4).write.mode("overwrite").parquet(src)
+    q = ingest.stream_entity_updates(spark, src, query_name="ent_updates",
+                                     max_files_per_trigger=1)
+    q.awaitTermination(120)
+    n_batches = len([p for p in q.recentProgress
+                     if p["numInputRows"] > 0])
+    got = (spark.sql("SELECT * FROM ent_updates")
+           .groupBy("conv_id").agg(F.sum("n_new").alias("n_entities"),
+                                   F.max("n_total").alias("n_total")))
+    # batch truth: distinct linked entities per conversation
+    from usc_ds_relationextraction_spark.functions.tokenize import (
+        pos_tags_col, tokens_col)
+    from usc_ds_relationextraction_spark.operators.mentions import (
+        np_chunks_col)
+    t = tiny_corpus.withColumn("toks", tokens_col("text")) \
+        .withColumn("pos", pos_tags_col("toks")) \
+        .withColumn("chunk", F.explode(np_chunks_col("toks", "pos"))) \
+        .select("conv_id", F.col("chunk.surface").alias("surface"))
+    al = syn.kb_aliases(spark).select(
+        F.col("alias").alias("surface"), "entity_id").distinct()
+    want = t.join(F.broadcast(al), on="surface") \
+        .groupBy("conv_id") \
+        .agg(F.countDistinct("entity_id").alias("n_entities"))
+    g = {r["conv_id"]: (r["n_entities"], r["n_total"])
+         for r in got.collect()}
+    w = {r["conv_id"]: r["n_entities"] for r in want.collect()}
+    assert set(g) == set(w) and len(w) > 0
+    for c, n in w.items():
+        assert g[c] == (n, n), (c, g[c], n)
+    assert n_batches >= 2  # state genuinely evolved across micro-batches

@@ -264,3 +264,82 @@ def stream_windowed_counts(spark: SparkSession, source_dir: str,
     agg = windowed_triple_counts(triples, window, watermark)
     return (agg.writeStream.format("memory").queryName(query_name)
             .outputMode("complete").trigger(availableNow=True).start())
+
+
+# ------------------------------------------------------ stateful operator
+ENTITY_STATE_SCHEMA = "entities array<string>"
+ENTITY_UPDATE_SCHEMA = ("conv_id string, n_new int, n_total int, "
+                        "max_turn int")
+
+
+def conversation_entity_updates(linked_mentions: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-conversation incremental entity-set tracking.
+
+    Input: (conv_id, turn_idx, entity_id) mention rows (from the
+    stream-static alias join).  State per conv_id: the entity-id set seen
+    so far.  Each micro-batch emits one row per active conversation with
+    the count of NEWLY seen entities, the running total, and the max turn
+    index — the building block for conversation-level KG upkeep (only
+    new entities need downstream linking work).
+
+    Scale shape: state is partitioned by conv_id (the stream's natural
+    key, dense and skew-bounded by conversation length); per-group state
+    is a bounded id set, and Spark's state store shards it across
+    executors — no driver state, no unbounded growth per group.  Works
+    identically at 10^9 conversations because state size is O(entities
+    per conversation).
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        seen: set[str] = set(state.get[0]) if state.exists else set()
+        before = len(seen)
+        max_turn = -1
+        for pdf in pdfs:
+            seen.update(pdf["entity_id"].astype(str))
+            if len(pdf):
+                max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+        state.update((sorted(seen),))
+        yield pd.DataFrame({
+            "conv_id": [key[0]],
+            "n_new": [len(seen) - before],
+            "n_total": [len(seen)],
+            "max_turn": [max_turn],
+        })
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return (linked_mentions
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=ENTITY_UPDATE_SCHEMA,
+                stateStructType=ENTITY_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_entity_updates(spark: SparkSession, source_dir: str,
+                          query_name: str, max_files_per_trigger: int = 2,
+                          schema: str = ("conv_id string, turn_idx int,"
+                                         " role string, text string,"
+                                         " tool string, ts timestamp")):
+    """readStream → mention extraction → stream-static alias join →
+    stateful per-conversation entity tracking → memory sink (update
+    mode).  ``maxFilesPerTrigger`` forces multiple micro-batches so the
+    state actually evolves across triggers (the testable property)."""
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .load(source_dir))
+    t = stream.withColumn("toks", tokens_col("text")) \
+        .withColumn("pos", pos_tags_col("toks")) \
+        .withColumn("chunk", F.explode(np_chunks_col("toks", "pos"))) \
+        .select("conv_id", "turn_idx",
+                F.col("chunk.surface").alias("surface"))
+    al = syn.kb_aliases(spark).select(
+        F.col("alias").alias("surface"), "entity_id").distinct()
+    linked = t.join(F.broadcast(al), on="surface") \
+        .select("conv_id", "turn_idx", "entity_id")
+    upd = conversation_entity_updates(linked)
+    return (upd.writeStream.format("memory").queryName(query_name)
+            .outputMode("update").trigger(availableNow=True).start())
