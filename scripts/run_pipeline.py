@@ -30,6 +30,9 @@ def main() -> None:
                     help="train embeddings + learned-triple inference "
                          "(default: direct-DS triples only)")
     ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--joint", action="store_true",
+                    help="joint mode: RM nets + EM nets + TransE in one "
+                         "epoch loop (reference retype.cpp:149-161)")
     ap.add_argument("--shuffle-partitions", type=int, default=32)
     args = ap.parse_args()
 
@@ -61,7 +64,7 @@ def main() -> None:
     out: dict = {"sf_dir": args.sf_dir, "warehouse": args.warehouse}
     if args.learned:
         res = pipe.run_learned(turns, aliases, facts, brown,
-                               epochs=args.epochs)
+                               epochs=args.epochs, joint=args.joint)
         m = res["metrics"]
         out.update(theta=res["theta"],
                    precision=round(m["precision"], 4),
