@@ -74,13 +74,19 @@ def _mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _linked_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _mentions_df(spark, sf_dir)
+    # dedup the 100-row DIMENSION, not the joined fact table: candidates
+    # are unique per (turn, start) by construction, so with a distinct
+    # alias dim the join output is already unique per (span, entity) —
+    # same rows as the old post-join .distinct() minus its full shuffle
+    # of the mention table (the thing that doesn't scale at 10^12 turns)
     al = _fx(spark, sf_dir, "kb_aliases") \
-        .select(F.col("alias").alias("surface"), "entity_id", "entity_type")
+        .select(F.col("alias").alias("surface"), "entity_id",
+                "entity_type").distinct()
     linked = salted_join(cand, al, on=["surface"], n_salts=8,
                          big_unique=F.concat_ws(
                              "_", "conv_id", "turn_idx", "start", "end"))
     return linked.select("conv_id", "turn_idx", "sent_id", "start", "end",
-                         "surface", "entity_id", "entity_type").distinct()
+                         "surface", "entity_id", "entity_type")
 
 
 def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
