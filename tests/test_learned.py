@@ -119,3 +119,24 @@ def test_joint_trains_em_namespace(joint):
 def test_joint_f1_above_gate(joint):
     _, res = joint
     assert res["best"]["f1"] >= 0.85, res["best"]
+
+
+def test_joint_resumes_from_checkpoint(joint, spark):
+    """Joint-mode resume (north_rule): re-entrant train() with the same
+    epoch total is a no-op returning the checkpointed state for BOTH
+    namespaces."""
+    from usc_ds_relationextraction_spark.plans.training import (
+        CoTypeJointTrainer)
+    pipe, res = joint
+    rm_mf = pipe.wh.read("rm_mention_feature")
+    rm_ft = pipe.wh.read("rm_feature_type")
+    rm_mt = pipe.wh.read("rm_mention_type")
+    em = {k: pipe.wh.read(f"em_{k}")
+          for k in ("mention_feature", "feature_type", "mention_type")}
+    tr = CoTypeJointTrainer(spark, pipe.wh, "rm", lr=0.25)
+    out = tr.train(rm_mf, rm_ft, rm_mt, pipe.wh.read("triples_mention"),
+                   epochs=15, resume=True, em_graphs=em)
+    for key in ("type", "type_em"):
+        a = sorted(map(tuple, out[key].collect()))
+        b = sorted(map(tuple, res["embs"][key].collect()))
+        assert a == b, key

@@ -611,10 +611,11 @@ class CoTypeJointTrainer(CoTypeRMTrainer):
                 em_graphs["mention_feature"].select("mention_id")).distinct()
         self._all_mentions = mf_ids.union(extra).distinct()
         return self._train_joint(mention_feature, feature_type,
-                                 mention_type, em_graphs, epochs, verbose)
+                                 mention_type, em_graphs, epochs, resume,
+                                 verbose)
 
     def _train_joint(self, mention_feature, feature_type, mention_type,
-                     em_graphs, epochs, verbose):
+                     em_graphs, epochs, resume, verbose):
         """Same epoch loop as the base class plus the EM namespace and a
         TransE pass whose gradients merge into the one BCD apply."""
         import time as _time
@@ -636,7 +637,25 @@ class CoTypeJointTrainer(CoTypeRMTrainer):
             m_edges = m_edges.unionByName(em_m)
             fy = fy.unionByName(em_fy)
 
-        emb_m = init_embeddings(self._all_mentions, "mention_id", dim, "m")
+        # resume (north_rule): same contract as the base trainer — meta
+        # records the last finished epoch; every namespace reloads its
+        # checkpointed matrices and the mention table resumes from disk
+        start_epoch = 0
+        if resume and self.wh.exists(self._name("meta")):
+            meta = self.wh.read(self._name("meta")).collect()[0]
+            start_epoch = meta["epoch"] + 1
+            emb_m = self.wh.read(self._name("mention"))
+            for n, sp in spaces.items():
+                sp.F_mat = self._load_matrix(
+                    self._space_name("feature", n), sp.f_ids, sp.f_i2r)
+                sp.Y_mat = self._load_matrix(
+                    self._space_name("type", n), sp.y_ids, sp.y_i2r)
+        else:
+            emb_m = init_embeddings(self._all_mentions, "mention_id",
+                                    dim, "m")
+        if start_epoch >= epochs:
+            return self._result(emb_m, spaces)
+
         m_edges = m_edges.repartition(
             int(spark.conf.get("spark.sql.shuffle.partitions")),
             "u_id").localCheckpoint(eager=True)
@@ -646,7 +665,7 @@ class CoTypeJointTrainer(CoTypeRMTrainer):
         emb_m.write.mode("overwrite").parquet(ab[0])
         emb_m = spark.read.parquet(ab[0])
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             _t0 = _time.time()
             lr = max(self.lr0 * (1.0 - epoch / float(epochs)),
                      self.lr0 * 1e-4)
