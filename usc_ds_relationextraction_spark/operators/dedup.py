@@ -148,6 +148,43 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     return out.where(F.col("jaccard_milli") >= min_jaccard_milli)
 
 
+def verified_near_dups(docs: DataFrame, text_col: str = "text",
+                       perms: int = DEFAULT_PERMS,
+                       bands: int = DEFAULT_BANDS, ngram: int = 3,
+                       min_jaccard_milli: int = 200) -> DataFrame:
+    """The composed production near-dup pipeline: MinHash-LSH candidate
+    generation → exact n-gram Jaccard verification restricted to the
+    candidates.  THIS is the 100 TB shape: the quadratic verify work is
+    bounded by |LSH candidates| (banded, uniform keys), never all-pairs;
+    the shingle join runs per candidate pair via two semi-bounded joins
+    against the distinct-shingle table.
+
+    Output is a SUBSET of :func:`ngram_jaccard_pairs` (same verify rule;
+    candidates that share no LSH band are not inspected — the documented
+    recall trade of banding).
+    """
+    cand = lsh_candidate_pairs(docs, text_col, perms, bands, ngram)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens_of(text_col), ngram)))
+        .alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("_doc_b2"),
+                  F.col("sh").alias("sh_b"))
+    inter = (cand.join(a, on="doc_a")
+             .join(b, (F.col("doc_b") == F.col("_doc_b2"))
+                   & (F.col("sh") == F.col("sh_b")))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = inter.join(na, on="doc_a").join(nb, on="doc_b")
+    out = j.select("doc_a", "doc_b",
+                   F.expr("inter * 1000 div (na + nb - inter)")
+                   .alias("jaccard_milli"))
+    return out.where(F.col("jaccard_milli") >= min_jaccard_milli)
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.groupBy(F.md5(text_col).alias("content_hash")).agg(
         F.min("doc_id").alias("canonical_id"),

@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, sf, "documents"), bits=N_BITS_SIMHASH)
     Q["dedup_ngram_jaccard"] = lambda s, sf: dedup.ngram_jaccard_pairs(
         _t(s, sf, "documents"), min_jaccard_milli=200)
+    Q["dedup_pipeline_verified"] = lambda s, sf: dedup.verified_near_dups(
+        _t(s, sf, "documents"), min_jaccard_milli=200)
     Q["text_langid"] = lambda s, sf: lang_id(_t(s, sf, "documents"))
     Q["text_quality"] = lambda s, sf: quality_metrics(_t(s, sf, "documents"))
     Q["text_token_counts"] = lambda s, sf: token_counts(
@@ -141,6 +143,32 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, i * 1000 // (na.n + nb.n - i) AS jaccard_milli
+FROM inter JOIN sizes na ON doc_a = na.doc_id
+           JOIN sizes nb ON doc_b = nb.doc_id
+WHERE i * 1000 // (na.n + nb.n - i) >= 200
+"""
+
+    # composed pipeline: LSH candidates -> exact Jaccard verify on them
+    O["dedup_pipeline_verified"] = f"""WITH {_sql_minhash_sigs()},
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+shd AS (SELECT DISTINCT doc_id, s FROM sh_lists, UNNEST(sh) AS u(s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN shd x ON x.doc_id = c.doc_a
+  JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b, i * 1000 // (na.n + nb.n - i) AS jaccard_milli
 FROM inter JOIN sizes na ON doc_a = na.doc_id
