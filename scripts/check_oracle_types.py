@@ -79,6 +79,11 @@ def main() -> int:
         if name not in os_:
             print(f"{name}: (no oracle — rows-only)")
             continue
+        # build the Spark DataFrame FIRST: fixture-backed oracles read
+        # files the Spark side writes lazily (.fixtures/sf0.01), so the
+        # reverse order reports spurious ORACLE ERRORs on fresh checkouts
+        sdf = qs[name](spark, SF_DIR)
+        scols = dict(sdf.dtypes)
         try:
             rel = con.sql(os_[name])
             dcols = dict(zip(rel.columns, [str(t) for t in rel.types]))
@@ -86,8 +91,6 @@ def main() -> int:
             bad.append(name)
             print(f"{name}: ORACLE ERROR {exc}")
             continue
-        sdf = qs[name](spark, SF_DIR)
-        scols = dict(sdf.dtypes)
         issues = []
         for c, dt in dcols.items():
             fam = duck_family(dt)

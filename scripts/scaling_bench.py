@@ -210,6 +210,10 @@ def _tenant_mode(n_turns: int) -> None:
     env = dict(os.environ, SCALING_NCONVS=str(N_CONVS),
                SCALING_REPEATS=str(REPEATS), SCALING_STAGE=STAGE)
     cmd = [sys.executable, os.path.abspath(__file__), "--level", str(lo)]
+    # discarded warm-up: equalize page-cache state between the tenant
+    # group (which would otherwise run cold) and the hi job (which would
+    # inherit the cache the tenants warmed) — round-2 advisor finding
+    _subprocess_level(lo)
     t0 = time.time()
     procs = [subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True,
                               env=env) for _ in range(hi // lo)]
@@ -259,6 +263,11 @@ def _executor_mode(n_turns: int) -> None:
     env = dict(os.environ, SCALING_NCONVS=str(N_CONVS),
                SCALING_REPEATS=str(REPEATS), SCALING_STAGE=STAGE)
     cmd = [sys.executable, os.path.abspath(__file__), "--level", str(lo)]
+    # discarded warm-up run: both configurations must see the same page
+    # cache state — without this the 1x baseline ran cold while the
+    # tenants inherited the cache it warmed, inflating the reported
+    # N->4N efficiency (round-2 advisor finding)
+    _subprocess_level(lo)
     t_single = _subprocess_level(lo)
     thr_single = n_turns / t_single
     procs = [subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True,

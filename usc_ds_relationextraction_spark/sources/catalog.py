@@ -75,23 +75,28 @@ class Warehouse:
     def _per_file_counts(self, name: str) -> list[int]:
         """Per-output-file row counts from the parquet FOOTERS of the
         just-written table — O(#files) metadata reads on the driver, no
-        second scan of the data (footers carry exact row counts)."""
+        second scan of the data (footers carry exact row counts).
+        Recurses so partitionBy() layouts (part files under key=value
+        subdirectories) are counted too."""
         import pyarrow.parquet as pq
         p = self.path(name)
         counts: list[int] = []
         if os.path.isdir(p):
-            for fn in sorted(os.listdir(p)):
-                if fn.endswith(".parquet"):
-                    counts.append(
-                        pq.ParquetFile(os.path.join(p, fn)).metadata.num_rows)
+            for root, _dirs, files in sorted(os.walk(p)):
+                for fn in sorted(files):
+                    if fn.endswith(".parquet"):
+                        counts.append(pq.ParquetFile(
+                            os.path.join(root, fn)).metadata.num_rows)
         return counts
 
     def _record(self, name: str, df: DataFrame, wall_s: float,
                 bucket_hint: str | None) -> None:
         counts = self._per_file_counts(name) if self.fmt == "parquet" else []
+        footer_detail = bool(counts)
         if not counts:
             # non-parquet formats: one metadata-driven count, still no
-            # per-partition re-shuffle
+            # per-partition re-shuffle; n_partitions=1 here means "no
+            # per-file detail", flagged via footer_detail below
             counts = [df.count()]
         counts.sort()
         n = len(counts)
@@ -99,6 +104,7 @@ class Warehouse:
             "stage": name,
             "rows": sum(counts),
             "n_partitions": n,
+            "footer_detail": footer_detail,
             "max_partition_rows": counts[-1],
             "min_partition_rows": counts[0],
             "p50_partition_rows": counts[n // 2],
@@ -148,13 +154,18 @@ def streaming_dedup_sink(spark: SparkSession, target: str,
     fmt='iceberg': ``target`` is a catalog table name; each micro-batch
     becomes a temp view and lands via :func:`merge_dedup_sql`.
     fmt='parquet': ``target`` is a directory; the batch left-anti-joins
-    the keys already on disk, then appends — same observable contract
-    (no key twice), tested in this sandbox.  Parquet append is not
-    atomic under concurrent writers; foreachBatch serializes batches per
-    query, which is the guarantee this sink relies on.
+    the keys already on disk, then lands via write-to-staging +
+    atomic rename: each micro-batch writes a complete staging directory
+    first, then its part files move into ``target`` with one ``os.rename``
+    each (atomic on a POSIX filesystem), so a crash mid-batch leaves at
+    worst a ``.staging-*`` directory that the next batch ignores — the
+    committed table never contains torn files.  foreachBatch serializes
+    batches per query; concurrent WRITERS to one target remain out of
+    contract (use the iceberg mode for that).
     """
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
+        import shutil
         d = df.dropDuplicates(key_cols)
         if fmt == "iceberg":
             view = f"_merge_src_{batch_id}"
@@ -166,6 +177,14 @@ def streaming_dedup_sink(spark: SparkSession, target: str,
                 f.endswith(".parquet") for f in os.listdir(target)):
             existing = spark.read.parquet(target).select(*key_cols)
             d = d.join(existing, on=key_cols, how="left_anti")
-        d.write.mode("append").parquet(target)
+        staging = os.path.join(target, f".staging-{batch_id}")
+        d.write.mode("overwrite").parquet(staging)
+        # publish: atomic per-file renames of the COMPLETE staging output
+        # (prefixed with the batch id so replays cannot collide)
+        for fn in sorted(os.listdir(staging)):
+            if fn.endswith(".parquet"):
+                os.rename(os.path.join(staging, fn),
+                          os.path.join(target, f"b{batch_id}-{fn}"))
+        shutil.rmtree(staging, ignore_errors=True)
 
     return write_batch
