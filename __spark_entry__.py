@@ -453,13 +453,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["sim_cosine_topk"] = sim_cosine_topk
 
     from usc_ds_relationextraction_spark.plans import (extended_queries,
+                                                       gate_queries,
                                                        parity_queries,
                                                        reference_ops,
-                                                       replay_queries)
+                                                       replay_queries,
+                                                       training_doubles)
     Q.update(extended_queries.queries())
     Q.update(parity_queries.queries())
     Q.update(reference_ops.queries())
     Q.update(replay_queries.queries())
+    Q.update(gate_queries.queries())
+    Q.update(training_doubles.queries())
     return Q
 
 
@@ -694,11 +698,15 @@ FROM (
 ) WHERE rk <= 5
 """
     from usc_ds_relationextraction_spark.plans import (extended_queries,
+                                                       gate_queries,
                                                        parity_queries,
                                                        reference_ops,
-                                                       replay_queries)
+                                                       replay_queries,
+                                                       training_doubles)
     O.update(extended_queries.oracles())
     O.update(parity_queries.oracles())
     O.update(reference_ops.oracles())
     O.update(replay_queries.oracles(FX01))
+    O.update(gate_queries.oracles())
+    O.update(training_doubles.oracles())
     return O

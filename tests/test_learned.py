@@ -94,7 +94,7 @@ def joint(spark, tmp_path_factory):
     pipe = KGPipeline(spark, wh)
     res = pipe.run_learned(turns, syn.kb_aliases(spark),
                            syn.kb_facts(spark), brown,
-                           epochs=15, lr=0.25, joint=True)
+                           epochs=25, lr=0.25, joint=True)
     return pipe, res
 
 
@@ -103,13 +103,14 @@ def test_joint_trains_em_namespace(joint):
     training (not stuck at the deterministic init)."""
     import numpy as np
 
-    from usc_ds_relationextraction_spark.plans.training import init_matrix
+    from usc_ds_relationextraction_spark.plans.training import \
+        init_matrix_fast
     _, res = joint
     assert "feature_em" in res["embs"] and "type_em" in res["embs"]
     rows = res["embs"]["feature_em"].limit(50).collect()
     assert len(rows) > 0
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    init = init_matrix(ids, 50, "f")
+    init = init_matrix_fast(ids, 50, "f")
     got = np.array([r["vec"] for r in rows])
     moved = np.abs(got - init).max(axis=1) > 1e-9
     # the vast majority of sampled EM feature vectors received gradients

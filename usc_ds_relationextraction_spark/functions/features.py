@@ -72,11 +72,15 @@ def _brown(lemma: str, brown: dict[str, str], out: list[str]) -> None:
 
 
 def em_features(tokens: list[str], pos: list[str], start: int, end: int,
-                brown: dict[str, str]) -> list[str]:
+                brown: dict[str, str],
+                lem: list[str] | None = None) -> list[str]:
     """Entity-mention feature strings, registration order per
-    ner_feature.py:18-38 (F14-F22)."""
+    ner_feature.py:18-38 (F14-F22).  ``lem`` lets the fused chunk UDF
+    compute the sentence-wide lemma array ONCE per turn instead of once
+    per chunk (~2.4 chunks/turn on this corpus)."""
     n = len(tokens)
-    lem = [get_lemma(tokens[i], pos[i]) for i in range(n)]
+    if lem is None:
+        lem = [get_lemma(tokens[i], pos[i]) for i in range(n)]
     out: list[str] = []
     # EMHeadFeature
     h = get_head(pos, start, end)
@@ -237,17 +241,41 @@ def make_chunk_features_udf(brown: dict[str, str]):
         for t, p in zip(tokens, pos):
             t = list(t)
             p = list(p)
+            lem = [get_lemma(t[i], p[i]) for i in range(len(t))]
             row = []
             for c in np_chunks_py(t, p):
                 row.append({
                     "start": c["start"], "end": c["end"],
                     "surface": c["surface"],
-                    "feats": em_features(t, p, c["start"], c["end"], brown),
+                    "feats": em_features(t, p, c["start"], c["end"],
+                                         brown, lem=lem),
                 })
             out.append(row)
         return pd.Series(out)
 
     return chunk_feats
+
+
+def make_rm_typed_features_udf(brown: dict[str, str]):
+    """F12 EMTypeFeature variant: same rm_features body, plus the
+    per-turn ``em_spans`` column (array<struct<start,end,labels>>) that
+    carries each linked mention's type labels — the reference's
+    requireEmType path (ner_feature.py:56-61, em type copy J3)."""
+
+    @pandas_udf("array<string>")
+    def rm_typed_feats(tokens: pd.Series, pos: pd.Series,
+                       em1s: pd.Series, em1e: pd.Series,
+                       em2s: pd.Series, em2e: pd.Series,
+                       numb: pd.Series, spans: pd.Series) -> pd.Series:
+        out = []
+        for t, p, a, b, c, d, k, sp in zip(tokens, pos, em1s, em1e,
+                                           em2s, em2e, numb, spans):
+            ems = [(s["start"], s["end"], list(s["labels"])) for s in sp]
+            out.append(rm_features(t, p, int(a), int(b), int(c), int(d),
+                                   int(k), brown, em_spans=ems))
+        return pd.Series(out)
+
+    return rm_typed_feats
 
 
 def make_rm_features_udf(brown: dict[str, str]):

@@ -72,6 +72,53 @@ class AliasTable:
         return self.draw(u1, u2)
 
 
+class SigmoidTable:
+    """The reference's precomputed 1000-bin sigmoid table
+    (``code/Model/retype/hplelib.cpp:289-293``, word2vec convention):
+    ``table[i] = e/(e+1)`` with ``e = exp((i/1000·2 − 1)·6)``; lookups
+    clamp to {0, 1} outside ±MAX_EXP and index with
+    ``int((x + 6)·(1000/(2·6)))``.
+
+    Because each bin VALUE is a fixed double, a lookup is engine-portable:
+    the DuckDB twin inlines the same 1000 literals (generated from this
+    class), so training-gradient doubles can be oracle-checked without
+    trusting two libm ``exp`` implementations to round identically.
+    """
+
+    SIZE = 1000          # EXP_TABLE_SIZE, hplelib.h:12
+    MAX_EXP = 6.0        # hplelib.h:13
+
+    def __init__(self) -> None:
+        i = np.arange(self.SIZE, dtype=np.float64)
+        e = np.exp((i / self.SIZE * 2.0 - 1.0) * self.MAX_EXP)
+        self.table = e / (e + 1.0)
+
+    def value(self, x: np.ndarray) -> np.ndarray:
+        """Vectorized table lookup with the word2vec clamp."""
+        x = np.asarray(x, dtype=np.float64)
+        idx = np.floor((x + self.MAX_EXP)
+                       * (self.SIZE / (2.0 * self.MAX_EXP))).astype(np.int64)
+        out = self.table[np.clip(idx, 0, self.SIZE - 1)]
+        return np.where(x >= self.MAX_EXP, 1.0,
+                        np.where(x <= -self.MAX_EXP, 0.0, out))
+
+    def sql_case(self, expr: str) -> str:
+        """DuckDB expression computing the SAME lookup via an inline
+        literal array (1-indexed list_extract)."""
+        # every branch CAST to DOUBLE: DuckDB parses decimal literals as
+        # DECIMAL, and decimal arithmetic (exact) can differ from the
+        # IEEE double ops numpy performs by one ulp
+        lits = ", ".join(repr(float(v)) for v in self.table)
+        idx = (f"CAST(floor(({expr} + {self.MAX_EXP!r}) * "
+               f"{self.SIZE / (2.0 * self.MAX_EXP)!r}) AS BIGINT)")
+        return (f"(CASE WHEN {expr} >= {self.MAX_EXP!r} "
+                f"THEN CAST(1.0 AS DOUBLE) "
+                f"WHEN {expr} <= {-self.MAX_EXP!r} THEN CAST(0.0 AS DOUBLE) "
+                f"ELSE CAST(list_extract([{lits}], "
+                f"CAST(LEAST(GREATEST({idx}, 0), {self.SIZE - 1}) AS INT)"
+                f" + 1) AS DOUBLE) END)")
+
+
 def hashed_u01(keys, salt: str) -> np.ndarray:
     """md5-derived uniforms in [0,1) per key — the same portable-hash
     construction as functions.hashing (60-bit prefix / 2^60)."""

@@ -87,13 +87,45 @@ def init_embeddings(nodes: DataFrame, id_col: str, dim: int = 50,
 
 
 def init_matrix(ids: np.ndarray, dim: int, salt: str) -> np.ndarray:
-    """Driver-side twin of :func:`init_embeddings` (same hash recipe)."""
+    """Driver-side twin of :func:`init_embeddings` (same hash recipe —
+    one md5 PER (id, component), so it stays SQL-expressible for the
+    oracle doubles in plans/training_doubles).  Correctness-tier: the
+    trainer itself uses :func:`init_matrix_fast` (rows×dim md5 calls
+    would serialize the driver at the SMALL_MATRIX_LIMIT scale)."""
     from ..functions.hashing import h64_py
     out = np.empty((len(ids), dim), dtype=np.float64)
     for r, nid in enumerate(ids):
         for i in range(dim):
             out[r, i] = ((h64_py(f"{nid}|{i}|{salt}") % 1000003)
                          / 1000003.0 - 0.5) / dim
+    return out
+
+
+def init_matrix_fast(ids: np.ndarray, dim: int, salt: str) -> np.ndarray:
+    """At-scale deterministic init: ONE md5 per node id seeds a
+    splitmix64 stream whose per-component outputs are vectorized numpy —
+    rows md5 calls + dim array passes instead of rows×dim md5 calls
+    (the round-2 driver-scale defect).  Same uniform(-0.5,0.5)/dim range
+    as :func:`init_matrix`; partition/resume-deterministic because the
+    seed depends only on (id, salt)."""
+    from ..functions.hashing import h64_py
+    seeds = np.array([h64_py(f"{int(i)}|{salt}") for i in ids],
+                     dtype=np.uint64)
+    out = np.empty((len(ids), dim), dtype=np.float64)
+    x = seeds.copy()
+    g = np.uint64(0x9E3779B97F4A7C15)
+    c1 = np.uint64(0xBF58476D1CE4E5B9)
+    c2 = np.uint64(0x94D049BB133111EB)
+    for i in range(dim):
+        x = x + g  # wraps mod 2^64
+        z = x.copy()
+        z ^= z >> np.uint64(30)
+        z *= c1
+        z ^= z >> np.uint64(27)
+        z *= c2
+        z ^= z >> np.uint64(31)
+        out[:, i] = ((z % np.uint64(1000003)).astype(np.float64)
+                     / 1000003.0 - 0.5) / dim
     return out
 
 
@@ -126,27 +158,38 @@ def _lookup(id2row: dict, ids: np.ndarray) -> np.ndarray:
 
 def _sgns_block(U: np.ndarray, u_ids, v_ids, w, V: np.ndarray, v_i2r,
                 neg_ids, neg_cum, u_set: str, v_set: str, epoch: int,
-                negatives: int) -> list[pd.DataFrame]:
+                negatives: int, sigmoid_fn=None, u01_fn=None,
+                dot_fn=None) -> list[pd.DataFrame]:
     """SGNS gradients for one (sub)batch; returns grad-row frames.
 
     cnt = w: the reference SAMPLES edges ∝ w (alias table,
     hplelib.cpp:285-286) so each draw contributes an unweighted gradient;
     the full-pass BCD analog is the weighted MEAN — grad carries w, so
     the divisor must too.
+
+    The three numeric kernels are pluggable so the oracle-gate double
+    (plans/training_doubles.py m1_sgns_epoch) can run THIS code path with
+    engine-portable twins — the reference's binned sigmoid table
+    (hplelib.cpp:289-293), md5-derived uniforms, and a left-associated
+    dot — while production keeps the fast defaults (exact sigmoid,
+    pandas-hash uniforms, einsum).
     """
+    sigmoid_fn = sigmoid_fn or _sigmoid
+    u01_fn = u01_fn or _hash_u01
+    dot_fn = dot_fn or (lambda A, B: np.einsum("ij,ij->i", A, B))
     Vv = V[_lookup(v_i2r, v_ids)]
-    s = _sigmoid(np.einsum("ij,ij->i", U, Vv))
+    s = sigmoid_fn(dot_fn(U, Vv))
     g = (1.0 - s) * w
     gu = g[:, None] * Vv
     out = [pd.DataFrame({"node_set": v_set, "node_id": v_ids.astype(np.int64),
                          "grad": list(g[:, None] * U), "cnt": w})]
     key = pd.Series(u_ids).astype(str) + "_" + pd.Series(v_ids).astype(str)
     for k in range(negatives):
-        u01 = _hash_u01(key, epoch * 7919 + k)
+        u01 = u01_fn(key, epoch * 7919 + k)
         nidx = np.searchsorted(neg_cum, u01, side="left")
         nid = neg_ids[np.clip(nidx, 0, len(neg_ids) - 1)]
         Vn = V[_lookup(v_i2r, nid)]
-        sn = _sigmoid(np.einsum("ij,ij->i", U, Vn))
+        sn = sigmoid_fn(dot_fn(U, Vn))
         gn = (0.0 - sn) * w
         gu += gn[:, None] * Vn
         out.append(pd.DataFrame({"node_set": v_set,
@@ -293,9 +336,9 @@ def _build_space(ns: str, mention_feature: DataFrame,
             f"namespace {ns}: {len(f_ids)}+{len(y_ids)} nodes exceeds "
             f"SMALL_MATRIX_LIMIT={SMALL_MATRIX_LIMIT}; flip the "
             "feature/type state to the join-based apply (see module doc)")
-    return _Space(ns, f_ids, init_matrix(f_ids, dim, "f"),
+    return _Space(ns, f_ids, init_matrix_fast(f_ids, dim, "f"),
                   _neg_table(mention_feature, "feature_id"),
-                  y_ids, init_matrix(y_ids, dim, "y"),
+                  y_ids, init_matrix_fast(y_ids, dim, "y"),
                   _neg_table(feature_type, "type_id"))
 
 
@@ -374,9 +417,14 @@ class CoTypeRMTrainer:
         return self._name(part if ns == self.prefix else f"{part}_{ns}")
 
     def _matrix_df(self, ids: np.ndarray, mat: np.ndarray) -> DataFrame:
-        rows = [(int(i), [float(x) for x in mat[r]])
-                for r, i in enumerate(ids)]
-        return self.spark.createDataFrame(rows, "id long, vec array<float>")
+        """Arrow-batched checkpoint frame: a pandas DataFrame crosses via
+        Arrow in columnar batches — no boxed Python row tuples (the
+        round-2 driver-scale defect: tens of GB of boxed floats at the
+        SMALL_MATRIX_LIMIT flip point)."""
+        pdf = pd.DataFrame({"id": ids.astype(np.int64),
+                            "vec": list(mat.astype(np.float32))})
+        return self.spark.createDataFrame(pdf,
+                                          schema="id long, vec array<float>")
 
     def _checkpoint(self, epoch: int, lr: float, emb_m: DataFrame,
                     spaces: dict) -> DataFrame:
@@ -392,12 +440,17 @@ class CoTypeRMTrainer:
         return emb_m
 
     def _load_matrix(self, name: str, ids: np.ndarray, i2r: dict) -> np.ndarray:
+        """Arrow fetch + one vectorized scatter (no per-row Python loop)."""
         pdf = self.wh.read(name).toPandas()
         mat = np.zeros((len(ids), self.dim))
-        for nid, vec in zip(pdf["id"].to_numpy(), pdf["vec"].to_numpy()):
-            r = i2r.get(int(nid))
-            if r is not None:
-                mat[r] = vec
+        if not len(pdf):
+            return mat
+        rows = np.fromiter((i2r.get(int(i), -1)
+                            for i in pdf["id"].to_numpy()),
+                           dtype=np.int64, count=len(pdf))
+        ok = rows >= 0
+        if ok.any():
+            mat[rows[ok]] = np.stack(pdf["vec"].to_numpy()[ok])
         return mat
 
     def _result(self, emb_m: DataFrame, spaces: dict) -> dict:
