@@ -119,3 +119,69 @@ def test_graph_build_on_replay(spark, corpus):
     direct = e.queries()["a3_cooccur_real"](spark, SF)
     assert g.count() == direct.count()
     assert g.exceptAll(direct).count() == 0
+
+
+def test_dep_arcs_and_real_arc_features(spark, tmp_path):
+    """The optional ``dep`` field (mention_reader.py:70-73) reads through
+    the explicit schema, normalizes via dep_arcs, and feeds the
+    arc-source-agnostic RM emitter — real parser arcs replace the pattern
+    approximation when present."""
+    import json as _json
+
+    from usc_ds_relationextraction_spark.functions.dependencies import (
+        make_rm_dep_features_from_arcs)
+    line = {
+        "articleId": "a1", "sentId": 0,
+        "tokens": ["Alice", "Jones", "visited", "Acme", "Corp", "."],
+        "pos": ["NNP", "NNP", "VBD", "NNP", "NNP", "."],
+        "entityMentions": [
+            {"start": 0, "end": 2, "labels": ["/person"]},
+            {"start": 3, "end": 5, "labels": ["/org"]}],
+        "relationMentions": [
+            {"em1Start": 0, "em1End": 2, "em2Start": 3, "em2End": 5,
+             "numOfEMBetween": 0, "labels": ["/business/person/company"]}],
+        "dep": [{"type": "nsubj", "gov": 2, "dep": 1},
+                {"type": "dobj", "gov": 2, "dep": 4},
+                {"type": "punct", "gov": 2, "dep": 5}],
+    }
+    p = tmp_path / "dep_corpus.json"
+    p.write_text(_json.dumps(line) + "\n")
+    c = rj.read_corpus(spark, str(p))
+    arcs = rj.dep_arcs(c)
+    assert arcs.count() == 3
+    rm = rj.relation_mentions(c)
+    tt = rj.turn_tokens(c)
+    j = rm.join(tt, ["conv_id", "turn_idx"])
+    udf = make_rm_dep_features_from_arcs()
+    feats = sorted(j.select(F.explode(udf(
+        "toks", "pos", "dep", "em1_start", "em1_end",
+        "em2_start", "em2_end")).alias("f")).toPandas()["f"])
+    # nsubj arc leaves EM1 (gov=2 outside, dep=1 inside: DEP_dep on gov
+    # token 'visited'); dobj arc enters EM2 (dep=4 inside: DEP_dep);
+    # punct arc filtered by accept_dep
+    assert feats == ["DEP_EM1_dep:nsubj:visite=V", "DEP_EM2_dep:dobj:visite=V"]
+
+
+def test_replay_gate_end_to_end(spark, tmp_path):
+    """scripts/replay.sh semantics in-process: split the round-trip
+    fixture into train/test files, run the one-command gate
+    (features → graphs → train → tune → M10), and check the metrics
+    protocol executes end-to-end with a sane tuned F1."""
+    from usc_ds_relationextraction_spark.plans.replay import replay_gate
+    path = rj.write_reference_fixture(spark, SF)
+    full = spark.read.text(path)
+    # deterministic 80/20 article split, mirroring train_new/test_new
+    a_id = F.get_json_object("value", "$.articleId")
+    from usc_ds_relationextraction_spark.functions.hashing import h64
+    is_test = F.pmod(h64(F.concat(a_id, F.lit("|rsplit"))), F.lit(5)) == 0
+    tr = str(tmp_path / "train_new.json")
+    te = str(tmp_path / "test_new.json")
+    full.where(~is_test).coalesce(1).write.mode("overwrite").text(tr)
+    full.where(is_test).coalesce(1).write.mode("overwrite").text(te)
+    res = replay_gate(spark, str(tmp_path / "wh"), tr, te, epochs=60)
+    assert res["n_corrupt"] == 0
+    # the BASELINE parity bar: tuned F1 >= 0.95 on the replayed corpus
+    # (measured 0.972 at 60 epochs; 15 epochs undertrains to ~0.73)
+    assert res["metrics"]["f1"] >= 0.95, res["metrics"]
+    assert res["n_triples"] > 0
+    assert "replay_rm_feature_rows" in res["stages"]

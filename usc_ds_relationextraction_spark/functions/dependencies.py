@@ -104,6 +104,39 @@ def make_dep_features_udf():
     return dep_udf
 
 
+def make_rm_dep_features_from_arcs():
+    """(toks, pos, dep_arcs, em1s, em1e, em2s, em2e) → array<string> —
+    the F13 RM emission over REAL parser arcs (the reference JSON's
+    optional ``dep`` field, mention_reader.py:70-73) instead of the
+    pattern approximation.  ``dep_arcs`` is the corpus column
+    array<struct<type,gov,dep>>; rows with no arcs (null/empty) emit
+    nothing, so mixed corpora degrade gracefully."""
+
+    @pandas_udf("array<string>")
+    def rm_dep_arcs_udf(toks: pd.Series, pos: pd.Series, deps: pd.Series,
+                        s1: pd.Series, e1: pd.Series, s2: pd.Series,
+                        e2: pd.Series) -> pd.Series:
+        out = []
+        for tk, pg, dp, a, b, c, d in zip(toks, pos, deps, s1, e1, s2, e2):
+            if dp is None or not len(dp):
+                out.append([])
+                continue
+            tk = list(tk)
+            pg = list(pg)
+            arcs = [(x["type"], int(x["gov"]), int(x["dep"])) for x in dp]
+            feats = [
+                "DEP_EM1_" + f[4:]
+                for f in dep_features_py(tk, pg, arcs, int(a), int(b))
+            ] + [
+                "DEP_EM2_" + f[4:]
+                for f in dep_features_py(tk, pg, arcs, int(c), int(d))
+            ]
+            out.append(feats)
+        return pd.Series(out)
+
+    return rm_dep_arcs_udf
+
+
 def make_rm_dep_features_udf():
     """(toks, pos, em1_start, em1_end, em2_start, em2_end) →
     array<string> — the F13 RM analog: per-side emission with DEP_EM1_ /

@@ -49,6 +49,13 @@ RM_STRUCT = T.StructType([
     T.StructField("numOfEMBetween", T.IntegerType()),
     T.StructField("labels", T.ArrayType(T.StringType())),
 ])
+DEP_STRUCT = T.StructType([
+    # real parser arcs, the reference's optional 'dep' field
+    # (mention_reader.py:70-73: (type, gov, dep) triples)
+    T.StructField("type", T.StringType()),
+    T.StructField("gov", T.IntegerType()),
+    T.StructField("dep", T.IntegerType()),
+])
 CORPUS_SCHEMA = T.StructType([
     T.StructField("articleId", T.StringType()),
     T.StructField("sentId", T.IntegerType()),
@@ -56,6 +63,7 @@ CORPUS_SCHEMA = T.StructType([
     T.StructField("pos", T.ArrayType(T.StringType())),
     T.StructField("entityMentions", T.ArrayType(EM_STRUCT)),
     T.StructField("relationMentions", T.ArrayType(RM_STRUCT)),
+    T.StructField("dep", T.ArrayType(DEP_STRUCT)),
     T.StructField("_corrupt_record", T.StringType()),
 ])
 
@@ -107,7 +115,22 @@ def turn_tokens(corpus: DataFrame) -> DataFrame:
         F.col("sentId").cast("int").alias("turn_idx"),
         F.col("tokens").alias("toks"),
         F.col("pos"),
+        F.col("dep"),  # real parser arcs when present, else null
     )
+
+
+def dep_arcs(corpus: DataFrame) -> DataFrame:
+    """Normalized real-parser arc table (one row per arc) from the
+    optional ``dep`` field; empty when the corpus carries none."""
+    d = corpus.where(F.col("_corrupt_record").isNull()
+                     & F.col("dep").isNotNull()).select(
+        F.col("articleId").alias("conv_id"),
+        F.col("sentId").cast("int").alias("turn_idx"),
+        F.explode("dep").alias("a"))
+    return d.select("conv_id", "turn_idx",
+                    F.col("a.type").alias("dep_type"),
+                    F.col("a.gov").alias("gov"),
+                    F.col("a.dep").alias("dep"))
 
 
 def entity_mentions(corpus: DataFrame) -> DataFrame:
