@@ -30,3 +30,14 @@ def test_logistic_baseline_f1(rm_rows):
     assert m["f1"] >= 0.85, m
     assert m["n_classes"] >= 3
     assert m["vocab"] > 100
+
+
+def test_svm_baseline_f1(rm_rows):
+    """Second family (margin/hinge — the PLSVM analog): LinearSVC
+    one-vs-rest through the same scaffold and protocol."""
+    from usc_ds_relationextraction_spark.plans.baselines import (
+        train_eval_svm)
+    m = train_eval_svm(rm_rows)
+    assert m["pos_gt"] > 50
+    assert m["f1"] >= 0.85, m
+    assert m["n_classes"] >= 3

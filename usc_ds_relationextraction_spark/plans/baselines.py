@@ -36,13 +36,11 @@ def _mention_rows(feature_rows: DataFrame) -> DataFrame:
             F.collect_list("labels")))), ",").alias("label_set"))
 
 
-def train_eval_logistic(feature_rows: DataFrame, max_iter: int = 40,
-                        reg_param: float = 1e-4,
-                        vocab_size: int = 1 << 18) -> dict:
-    """Train on the train split, evaluate P/R/F1 on the test split with
-    the M10 None-exclusion protocol.  Returns metrics + the fitted model.
-    """
-    from pyspark.ml.classification import LogisticRegression
+def _train_eval(feature_rows: DataFrame, make_estimator,
+                vocab_size: int = 1 << 18) -> dict:
+    """Shared scaffold: vectorize + index on the train split, fit the
+    estimator from ``make_estimator()``, evaluate P/R/F1 on the test
+    split with the M10 None-exclusion protocol."""
     from pyspark.ml.feature import CountVectorizer, StringIndexer
 
     rows = _mention_rows(feature_rows).cache()
@@ -56,10 +54,7 @@ def train_eval_logistic(feature_rows: DataFrame, max_iter: int = 40,
                        handleInvalid="keep")
     si_model = si.fit(train)
 
-    lr = LogisticRegression(featuresCol="fvec", labelCol="y",
-                            maxIter=max_iter, regParam=reg_param,
-                            family="multinomial")
-    model = lr.fit(si_model.transform(cv_model.transform(train)))
+    model = make_estimator().fit(si_model.transform(cv_model.transform(train)))
 
     pred = model.transform(si_model.transform(cv_model.transform(test)))
     labels = list(si_model.labelsArray[0])
@@ -85,3 +80,38 @@ def train_eval_logistic(feature_rows: DataFrame, max_iter: int = 40,
             "pos_gt": agg["pos_gt"], "pos_pred": agg["pos_pred"],
             "tp": agg["tp"], "n_classes": len(labels),
             "vocab": len(cv_model.vocabulary), "model": model}
+
+
+def train_eval_logistic(feature_rows: DataFrame, max_iter: int = 40,
+                        reg_param: float = 1e-4,
+                        vocab_size: int = 1 << 18) -> dict:
+    """Multinomial logistic regression baseline (the reference zoo's
+    Logistic member, Classifier.py:16-41)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    def make():
+        return LogisticRegression(featuresCol="fvec", labelCol="y",
+                                  maxIter=max_iter, regParam=reg_param,
+                                  family="multinomial")
+
+    return _train_eval(feature_rows, make, vocab_size)
+
+
+def train_eval_svm(feature_rows: DataFrame, max_iter: int = 30,
+                   reg_param: float = 1e-4,
+                   vocab_size: int = 1 << 18) -> dict:
+    """Margin-based second family: LinearSVC one-vs-rest — the Spark-ML
+    analog of the reference zoo's PLSVM (hinge loss, Classifier.py:16-41;
+    the partial-label relaxation collapses to standard hinge when every
+    mention carries one label set, this repo's exact-set protocol).
+    Both families sharing one scaffold makes the cross-model regression
+    check two-family, per the round-2 verdict."""
+    from pyspark.ml.classification import LinearSVC, OneVsRest
+
+    def make():
+        svc = LinearSVC(featuresCol="fvec", labelCol="y",
+                        maxIter=max_iter, regParam=reg_param)
+        return OneVsRest(classifier=svc, featuresCol="fvec", labelCol="y",
+                         parallelism=4)
+
+    return _train_eval(feature_rows, make, vocab_size)
