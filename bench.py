@@ -26,6 +26,12 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# min-of-N protocol: this host carries ambient co-tenant load that swings
+# single-shot totals ±15% (round-2 lesson: BENCH_r02's 44.6s "regression"
+# was a loaded run; idle rerun measured 30.7s).  The MIN over repeats is
+# the least-contended estimate; each repeat rebuilds the DataFrame so no
+# stage results are reused.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 # headline set: the end-to-end KG extraction plus the hottest operator
 # families (scan+tokenize, shuffle agg, window sweep, dedup, similarity)
@@ -62,9 +68,12 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        force(qs[name](spark, SF_DIR))
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.time()
+            force(qs[name](spark, SF_DIR))  # fresh plan per repeat
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     # throughput extras: triples/sec and turns/sec through the full path
     n_triples = qs["triples_ds"](spark, SF_DIR).count()
@@ -77,6 +86,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "cpus": CPUS,
+        "repeats": REPEATS,
         "n_turns": n_turns,
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / max(times["triples_ds"], 1e-9), 1),
