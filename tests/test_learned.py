@@ -141,3 +141,35 @@ def test_joint_resumes_from_checkpoint(joint, spark):
         a = sorted(map(tuple, out[key].collect()))
         b = sorted(map(tuple, res["embs"][key].collect()))
         assert a == b, key
+
+
+def test_large_path_matches_broadcast(learned, spark, tmp_path):
+    """SMALL_MATRIX_LIMIT flip (training_large): forcing the join-based
+    feature-state path on the same graphs reproduces the broadcast
+    path's embeddings — identical splitmix init, bit-identical negative
+    draws through the distributed inverse CDF, same gradient math; the
+    residual is float-sum association order in the grad aggregation."""
+    import numpy as np
+
+    from usc_ds_relationextraction_spark.sources.catalog import Warehouse
+    pipe, _ = learned
+    mf = pipe.wh.read("rm_mention_feature")
+    ft = pipe.wh.read("rm_feature_type")
+    mt = pipe.wh.read("rm_mention_type")
+
+    t_small = CoTypeRMTrainer(
+        spark, Warehouse(spark, str(tmp_path / "ws")), "rm", lr=0.25)
+    small = t_small.train(mf, ft, mt, epochs=4, resume=False)
+    t_large = CoTypeRMTrainer(
+        spark, Warehouse(spark, str(tmp_path / "wl")), "rm", lr=0.25,
+        small_matrix_limit=1)
+    large = t_large.train(mf, ft, mt, epochs=4, resume=False)
+
+    for part in ("feature", "type", "mention"):
+        a = {r["id"]: np.array(r["vec"], dtype=np.float64)
+             for r in small[part].collect()}
+        b = {r["id"]: np.array(r["vec"], dtype=np.float64)
+             for r in large[part].collect()}
+        assert set(a) == set(b), part
+        diff = max(float(np.abs(a[i] - b[i]).max()) for i in a)
+        assert diff < 1e-5, (part, diff)

@@ -315,13 +315,20 @@ def _ids_pd(df: DataFrame, col: str) -> np.ndarray:
 
 
 def _neg_table(graph: DataFrame, col: str):
-    """degree^0.75 inverse-CDF sampling table (A4/A5) — Arrow-fetched."""
+    """degree^0.75 inverse-CDF sampling table (A4/A5) — Arrow-fetched.
+
+    Integer milli-weights (``floor(sqrt(d·sqrt(d))·1000)`` — the
+    IEEE-exact ^0.75), cumulated in int64: exact associativity means the
+    distributed twin (``training_large.build_cdf``'s bucketed two-pass
+    prefix sum) reproduces every cumulative value bit-for-bit, so the
+    broadcast and join paths select identical negatives."""
     pdf = graph.groupBy(col).agg(F.sum("w").alias("d")) \
         .orderBy(col).toPandas()
     ids = pdf[col].to_numpy(dtype=np.int64)
-    w = pdf["d"].to_numpy(dtype=np.float64) ** 0.75
-    cum = np.cumsum(w)
-    return ids, cum / cum[-1]
+    d = pdf["d"].to_numpy(dtype=np.float64)
+    w75 = np.floor(np.sqrt(d * np.sqrt(d)) * 1000).astype(np.int64)
+    cum = np.cumsum(w75)
+    return ids, cum.astype(np.float64) / float(cum[-1])
 
 
 def _build_space(ns: str, mention_feature: DataFrame,
@@ -334,8 +341,11 @@ def _build_space(ns: str, mention_feature: DataFrame,
     if (len(f_ids) + len(y_ids)) > SMALL_MATRIX_LIMIT:
         raise ValueError(
             f"namespace {ns}: {len(f_ids)}+{len(y_ids)} nodes exceeds "
-            f"SMALL_MATRIX_LIMIT={SMALL_MATRIX_LIMIT}; flip the "
-            "feature/type state to the join-based apply (see module doc)")
+            f"SMALL_MATRIX_LIMIT={SMALL_MATRIX_LIMIT}; CoTypeRMTrainer "
+            "flips to training_large.train_large before reaching here — "
+            "the joint trainer's namespaces do not flip yet (extend "
+            "train_large's namespace handling if an EM-side vocab "
+            "outgrows the driver)")
     return _Space(ns, f_ids, init_matrix_fast(f_ids, dim, "f"),
                   _neg_table(mention_feature, "feature_id"),
                   y_ids, init_matrix_fast(y_ids, dim, "y"),
@@ -398,7 +408,8 @@ class CoTypeRMTrainer:
 
     def __init__(self, spark: SparkSession, wh: Warehouse, prefix: str,
                  dim: int = 50, negatives: int = 3, lr: float = 0.02,
-                 alpha: float = 0.0001, checkpoint_every: int = 10):
+                 alpha: float = 0.0001, checkpoint_every: int = 10,
+                 small_matrix_limit: int = SMALL_MATRIX_LIMIT):
         self.spark = spark
         self.wh = wh
         self.prefix = prefix
@@ -407,6 +418,9 @@ class CoTypeRMTrainer:
         self.lr0 = lr
         self.alpha = alpha
         self.checkpoint_every = checkpoint_every
+        # feature/type placement flip point — overridable so tests can
+        # force the join-based path on small fixtures
+        self.small_matrix_limit = small_matrix_limit
 
     # ---------------------------------------------------------- helpers
     def _name(self, s: str) -> str:
@@ -470,6 +484,22 @@ class CoTypeRMTrainer:
         spark, dim = self.spark, self.dim
         sc = spark.sparkContext
         ns = self.prefix
+
+        # placement flip: past the limit the feature state cannot live on
+        # the driver — hand off to the join-based trainer (same
+        # objectives/schedule, feature embeddings as a DataFrame,
+        # negatives pre-sampled through the distributed inverse CDF)
+        n_nodes = (mention_feature.select("feature_id")
+                   .union(feature_type.select("feature_id"))
+                   .distinct().count()
+                   + feature_type.select("type_id")
+                   .union(mention_type.select("type_id"))
+                   .distinct().count())
+        if n_nodes > self.small_matrix_limit:
+            from .training_large import train_large
+            return train_large(self, mention_feature, feature_type,
+                               mention_type, epochs, resume=resume,
+                               verbose=verbose)
 
         space = _build_space(ns, mention_feature, feature_type,
                              mention_type, dim)
