@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     from usc_ds_relationextraction_spark.plans import (extended_queries,
                                                        gate_queries,
+                                                       kg_materialize,
                                                        parity_queries,
                                                        reference_ops,
                                                        replay_queries,
@@ -464,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q.update(replay_queries.queries())
     Q.update(gate_queries.queries())
     Q.update(training_doubles.queries())
+    Q.update(kg_materialize.queries())
     return Q
 
 
@@ -699,6 +701,7 @@ FROM (
 """
     from usc_ds_relationextraction_spark.plans import (extended_queries,
                                                        gate_queries,
+                                                       kg_materialize,
                                                        parity_queries,
                                                        reference_ops,
                                                        replay_queries,
@@ -709,4 +712,5 @@ FROM (
     O.update(replay_queries.oracles(FX01))
     O.update(gate_queries.oracles())
     O.update(training_doubles.oracles())
+    O.update(kg_materialize.oracles())
     return O

@@ -1,0 +1,221 @@
+"""Canonical KG materialization — the north_rule's "canonicalization,
+graph materialize" step as first-class tables.
+
+The DS pipeline's flagship output (``triples_ds``) keeps mention
+*surfaces* as subj/obj, mirroring the reference's
+``convertPredictionToJson.py:36-61`` emission.  A knowledge graph needs
+one more hop: collapse every surface variant onto its canonical KB
+entity and aggregate the per-mention evidence into **entity nodes** and
+**canonical edges** — the "materialized as Iceberg entity/edge tables"
+shape BASELINE.json names.
+
+Operators (both pure DataFrame, both shuffle exactly once on their
+output key):
+
+ - :func:`entity_nodes` — linked mentions grouped by ``entity_id``:
+   mention/conversation counts, the observed surface-form set, and the
+   canonical display name (chosen deterministically from the alias
+   dictionary: lexicographic min, which prefers the cased form since
+   ASCII uppercase sorts first — the dictionary convention of
+   :mod:`..sources.synthetic` where each entity carries its cased name
+   plus optional lowercase variants).
+ - :func:`canonical_edges` — DS-labeled pairs re-keyed to fact
+   direction: the canonical subject is the entity the KB fact names as
+   subject regardless of textual order (``direction`` from the fact
+   join), then grouped by ``(subj_id, pred, obj_id)`` with evidence
+   counts.  Every emitted edge is, by construction, a KB fact observed
+   in text — the edge weight is its support.
+
+Scale notes (100 TB regime): the groupBys key on ``entity_id`` /
+``(subj_id, pred, obj_id)`` — hub entities make these skewed, but both
+aggregations are algebraic (COUNT / COUNT DISTINCT / collect_set over a
+bounded surface vocabulary), so map-side partial aggregation flattens
+the hub before the shuffle; AQE skew-join handles the residual.  The
+canonical-name dimension is alias-vocabulary-sized and broadcasts.
+``collect_set(surface)`` is bounded by the alias dictionary (a mention
+surface must have matched an alias to be linked), not by corpus size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _entry():
+    import __spark_entry__ as entry
+    return entry
+
+
+# --------------------------------------------------------------- operators
+def canonical_names(aliases: DataFrame) -> DataFrame:
+    """(entity_id, canonical_name) from the alias dictionary: the
+    lexicographic min alias (binary collation in both engines; ASCII
+    uppercase < lowercase, so the cased form wins over its lowercase
+    variant)."""
+    return aliases.groupBy("entity_id").agg(
+        F.min("alias").alias("canonical_name"))
+
+
+def entity_nodes(linked: DataFrame, aliases: DataFrame) -> DataFrame:
+    """KG node table from linked mentions (one row per mention×entity,
+    the :func:`..operators.ds_label.link_entities` output shape)."""
+    agg = linked.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.array_join(F.sort_array(F.collect_set("surface")), ",")
+         .alias("surfaces"),
+        F.min("entity_type").alias("entity_type"),
+    )
+    return agg.join(F.broadcast(canonical_names(aliases)), on="entity_id") \
+        .select("entity_id", "canonical_name", "entity_type",
+                "n_mentions", "n_convs", "surfaces")
+
+
+def canonical_edges(labeled_pairs: DataFrame,
+                    aliases: DataFrame | None = None) -> DataFrame:
+    """KG edge table from DS-labeled pairs (the
+    ``_labeled_pairs_df`` shape: em1/em2 entity ids + relation +
+    direction).  Canonical orientation: fact order, not textual order."""
+    fwd = F.col("direction") == "fwd"
+    edges = labeled_pairs.select(
+        F.when(fwd, F.col("em1_entity")).otherwise(F.col("em2_entity"))
+         .alias("subj_id"),
+        F.col("relation").alias("pred"),
+        F.when(fwd, F.col("em2_entity")).otherwise(F.col("em1_entity"))
+         .alias("obj_id"),
+        "conv_id",
+    ).groupBy("subj_id", "pred", "obj_id").agg(
+        F.count(F.lit(1)).alias("n_support"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+    if aliases is None:
+        return edges
+    canon = F.broadcast(canonical_names(aliases))
+    return edges \
+        .join(canon.select(F.col("entity_id").alias("subj_id"),
+                           F.col("canonical_name").alias("subj_name")),
+              on="subj_id") \
+        .join(canon.select(F.col("entity_id").alias("obj_id"),
+                           F.col("canonical_name").alias("obj_name")),
+              on="obj_id") \
+        .select("subj_id", "subj_name", "pred", "obj_id", "obj_name",
+                "n_support", "n_convs")
+
+
+def canonical_edges_from_pairs(pairs: DataFrame, facts: DataFrame,
+                               aliases: DataFrame | None = None) -> DataFrame:
+    """Canonical edges from the :mod:`..operators.pairs` labeled-pair
+    shape (``em1_entities``/``em2_entities`` label-set arrays): re-derive
+    the per-(pair, fact) evidence rows — the label-set collapse in
+    ``label_pairs`` drops which entity pair supplied which relation, so
+    the edge table goes back to the explode×broadcast-facts join (the
+    same plan shape, one broadcast, no extra shuffle before the final
+    groupBy)."""
+    ents = (pairs
+            .select("mention_key", "conv_id",
+                    F.explode("em1_entities").alias("e1"), "em2_entities")
+            .select("mention_key", "conv_id", "e1",
+                    F.explode("em2_entities").alias("e2")))
+    both = facts.select(F.col("subj_id").alias("e1"),
+                        F.col("obj_id").alias("e2"), "relation",
+                        F.lit("fwd").alias("direction")) \
+        .unionByName(facts.select(F.col("obj_id").alias("e1"),
+                                  F.col("subj_id").alias("e2"), "relation",
+                                  F.lit("rev").alias("direction")))
+    ev = ents.join(F.broadcast(both), on=["e1", "e2"])
+    fwd = F.col("direction") == "fwd"
+    labeled = ev.select(
+        F.when(fwd, F.col("e1")).otherwise(F.col("e2")).alias("em1_entity"),
+        F.when(fwd, F.col("e2")).otherwise(F.col("e1")).alias("em2_entity"),
+        "relation", F.lit("fwd").alias("direction"), "conv_id")
+    return canonical_edges(labeled, aliases)
+
+
+def materialize_kg(wh, linked: DataFrame, labeled_pairs: DataFrame,
+                   aliases: DataFrame) -> dict[str, DataFrame]:
+    """Write the entity/edge tables through the warehouse (parquet or
+    Iceberg catalog — whatever the :class:`..sources.catalog.Warehouse`
+    is backed by), with the standard per-stage lineage metrics."""
+    nodes = wh.ensure("kg_entities",
+                      lambda: entity_nodes(linked, aliases),
+                      bucket_hint="entity_id")
+    edges = wh.ensure("kg_edges",
+                      lambda: canonical_edges(labeled_pairs, aliases),
+                      bucket_hint="subj_id")
+    return {"kg_entities": nodes, "kg_edges": edges}
+
+
+# ----------------------------------------------------------- driver gate
+def kg_entity_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    e = _entry()
+    linked = e._linked_df(spark, sf)
+    aliases = e._fx(spark, sf, "kb_aliases")
+    return entity_nodes(linked, aliases)
+
+
+def kg_canonical_edges(spark: SparkSession, sf: str) -> DataFrame:
+    e = _entry()
+    lp = e._labeled_pairs_df(spark, sf)
+    aliases = e._fx(spark, sf, "kb_aliases")
+    return canonical_edges(lp, aliases)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "kg_entity_nodes": kg_entity_nodes,
+        "kg_canonical_edges": kg_canonical_edges,
+    }
+
+
+def oracles() -> dict[str, str]:
+    e = _entry()
+    al = e._fx_sql("kb_aliases")
+    facts = e._fx_sql("kb_facts")
+    canon = f"""canon AS (
+  SELECT entity_id, min(alias) AS canonical_name
+  FROM {al} GROUP BY entity_id
+)"""
+    nodes = f"""
+WITH {e._sql_mentions().lstrip()},
+linked AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, m.sent_id, m.start, m."end",
+         m.surface, a.entity_id, a.entity_type
+  FROM mentions m JOIN {al} a ON m.surface = a.alias
+),
+{canon}
+SELECT l.entity_id, c.canonical_name,
+       min(l.entity_type) AS entity_type,
+       COUNT(*) AS n_mentions,
+       COUNT(DISTINCT l.conv_id) AS n_convs,
+       array_to_string(list_sort(list_distinct(list(l.surface))), ',')
+         AS surfaces
+FROM linked l JOIN canon c USING (entity_id)
+GROUP BY l.entity_id, c.canonical_name
+"""
+    edges = f"""
+WITH {e._sql_pairs().lstrip()},
+evidence AS (
+  SELECT f.subj_id, f.relation AS pred, f.obj_id, p.conv_id
+  FROM pairs p JOIN {facts} f
+    ON p.em1_entity = f.subj_id AND p.em2_entity = f.obj_id
+  UNION ALL
+  SELECT f.subj_id, f.relation AS pred, f.obj_id, p.conv_id
+  FROM pairs p JOIN {facts} f
+    ON p.em2_entity = f.subj_id AND p.em1_entity = f.obj_id
+),
+{canon},
+agg AS (
+  SELECT subj_id, pred, obj_id,
+         COUNT(*) AS n_support, COUNT(DISTINCT conv_id) AS n_convs
+  FROM evidence GROUP BY subj_id, pred, obj_id
+)
+SELECT a.subj_id, cs.canonical_name AS subj_name, a.pred,
+       a.obj_id, co.canonical_name AS obj_name, a.n_support, a.n_convs
+FROM agg a
+JOIN canon cs ON a.subj_id = cs.entity_id
+JOIN canon co ON a.obj_id = co.entity_id
+"""
+    return {"kg_entity_nodes": nodes, "kg_canonical_edges": edges}

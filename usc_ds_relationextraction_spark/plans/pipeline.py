@@ -165,6 +165,24 @@ class KGPipeline:
         return self.wh.ensure("triples_mention",
                               lambda: graphs.rm_em_triples(rm))
 
+    def kg_tables(self, aliases: DataFrame,
+                  facts: DataFrame) -> dict[str, DataFrame]:
+        """Canonical entity/edge materialization (north_rule: "entity
+        linking, canonicalization, graph materialize") — run after
+        :meth:`run`; reads the candidates + rm_pairs stages."""
+        from . import kg_materialize as kg
+        linked = ds_label.link_entities(self.wh.read("candidates"),
+                                        aliases, self.n_salts)
+        nodes = self.wh.ensure(
+            "kg_entities", lambda: kg.entity_nodes(linked, aliases),
+            bucket_hint="entity_id")
+        pairs = self.wh.read("rm_pairs")
+        edges = self.wh.ensure(
+            "kg_edges",
+            lambda: kg.canonical_edges_from_pairs(pairs, facts, aliases),
+            bucket_hint="subj_id")
+        return {"kg_entities": nodes, "kg_edges": edges}
+
     # ------------------------------------------------------------ full run
     def run(self, turns: DataFrame, aliases: DataFrame,
             facts: DataFrame) -> DataFrame:
