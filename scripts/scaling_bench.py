@@ -270,11 +270,21 @@ def _executor_mode(n_turns: int) -> None:
     _subprocess_level(lo)
     t_single = _subprocess_level(lo)
     thr_single = n_turns / t_single
+    with open("/proc/loadavg") as f:
+        load_before = float(f.read().split()[0])
     procs = [subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True,
                               env=env) for _ in range(n_tenants)]
     walls = [float(p.communicate()[0].strip().splitlines()[-1])
              for p in procs]
     thr_agg = sum(n_turns / w for w in walls)
+    # contention detector: the tenants are IDENTICAL jobs started
+    # simultaneously — on a quiet host their walls agree within a few
+    # percent (measured ≤9% idle).  A large spread can only come from
+    # something OUTSIDE the benchmark stealing cores from some tenants,
+    # which deflates the 4N side and invalidates the efficiency number.
+    # Mechanical rule (documented in BENCH.md): spread >15% ⇒ contended,
+    # row recorded but not authoritative.
+    spread = (max(walls) - min(walls)) / min(walls)
     out = {
         "stage": STAGE, "mode": "executor_scaling",
         "n_convs": N_CONVS, "n_turns": n_turns,
@@ -285,7 +295,10 @@ def _executor_mode(n_turns: int) -> None:
         "turns_per_sec_4x": round(thr_agg, 1),
         "scaling_efficiency_Nto4N": round(
             thr_agg / (n_tenants * thr_single), 3),
-        "authoritative": True,
+        "tenant_wall_spread": round(spread, 3),
+        "loadavg_before_tenants": load_before,
+        "contended": spread > 0.15,
+        "authoritative": spread <= 0.15,
     }
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_SCALING.jsonl"), "a") as f:

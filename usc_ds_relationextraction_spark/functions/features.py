@@ -128,11 +128,14 @@ def rm_features(tokens: list[str], pos: list[str],
                 em1s: int, em1e: int, em2s: int, em2e: int,
                 num_between: int, brown: dict[str, str],
                 em_spans: list[tuple[int, int, list[str]]] | None = None,
-                ) -> list[str]:
+                lem: list[str] | None = None) -> list[str]:
     """Relation-mention feature strings, registration order per
-    ner_feature.py:40-61 (F1-F12)."""
+    ner_feature.py:40-61 (F1-F12).  ``lem`` lets the grouped UDF compute
+    the sentence-wide lemma array ONCE per sentence instead of once per
+    pair (sentences average >1 pair on a DS corpus)."""
     n = len(tokens)
-    lem = [get_lemma(tokens[i], pos[i]) for i in range(n)]
+    if lem is None:
+        lem = [get_lemma(tokens[i], pos[i]) for i in range(n)]
     out: list[str] = []
     # HeadFeature
     h1 = get_head(pos, em1s, em1e)
@@ -254,6 +257,38 @@ def make_chunk_features_udf(brown: dict[str, str]):
         return pd.Series(out)
 
     return chunk_feats
+
+
+def make_rm_grouped_features_udf(brown: dict[str, str]):
+    """Fused per-sentence RM featurizer: (tokens, pos,
+    pairs: array<struct<em1s,em1e,em2s,em2e,numb>>) →
+    array<array<string>> aligned with the input pairs.
+
+    Scale rationale (same as the fused chunk UDF): the per-pair UDF
+    ships the full (tokens, pos) arrays once PER PAIR over Arrow and
+    recomputes the sentence lemma array per pair; grouping pairs by
+    their sentence ships and lemmatizes each sentence exactly once.
+    The output rides back positionally — callers ``arrays_zip`` it with
+    the pairs column, so any extra per-pair fields (mention_key, spans)
+    survive without widening the UDF signature."""
+
+    @pandas_udf("array<array<string>>")
+    def rm_feats_grouped(tokens: pd.Series, pos: pd.Series,
+                         pairs: pd.Series) -> pd.Series:
+        out = []
+        for t, p, prs in zip(tokens, pos, pairs):
+            t = list(t)
+            p = list(p)
+            lem = [get_lemma(t[i], p[i]) for i in range(len(t))]
+            out.append([
+                rm_features(t, p, int(pr["em1s"]), int(pr["em1e"]),
+                            int(pr["em2s"]), int(pr["em2e"]),
+                            int(pr["numb"]), brown, lem=lem)
+                for pr in prs
+            ])
+        return pd.Series(out)
+
+    return rm_feats_grouped
 
 
 def make_rm_typed_features_udf(brown: dict[str, str]):

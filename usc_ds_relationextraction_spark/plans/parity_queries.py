@@ -347,23 +347,37 @@ def rm_feature_strings(spark: SparkSession, sf: str) -> DataFrame:
     — the real pandas UDF (with the real Brown dictionary) over DS pairs
     vs an independent SQL formulation.  GRM_* bigrams ride the same lemma
     pipeline (golden-tested)."""
-    from ..functions.features import make_rm_features_udf
+    from ..functions.features import make_rm_grouped_features_udf
     e = _entry()
     p = e._pairs_df(spark, sf).select(
         "conv_id", "turn_idx", "sent_id", "em1_start", "em1_end",
         "em2_start", "em2_end", "num_between").distinct()
+    # group pairs by their turn so the grouped UDF ships/lemmatizes each
+    # sentence once; the groupBy partitions on the join key, so the join
+    # below reuses that exchange (one shuffle for the pair side)
+    grouped = p.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list(F.struct(
+            F.col("sent_id"),
+            F.col("em1_start").alias("em1s"), F.col("em1_end").alias("em1e"),
+            F.col("em2_start").alias("em2s"), F.col("em2_end").alias("em2e"),
+            F.col("num_between").alias("numb"))).alias("pairs"))
     tt = e._turn_tokens(spark, sf).select("conv_id", "turn_idx",
                                           "toks", "pos")
-    j = p.join(tt, on=["conv_id", "turn_idx"])
+    j = grouped.join(tt, on=["conv_id", "turn_idx"])
     brown = {r["word"]: r["cluster"]
              for r in e._fx(spark, sf, "brown_clusters").collect()}
-    udf = make_rm_features_udf(brown)
-    feats = j.select(
-        "conv_id", "turn_idx", "sent_id", "em1_start", "em1_end",
-        "em2_start", "em2_end",
-        F.explode(udf("toks", "pos", "em1_start", "em1_end",
-                      "em2_start", "em2_end", "num_between"))
-        .alias("feature"))
+    udf = make_rm_grouped_features_udf(brown)
+    z = j.withColumn("feats_list", udf("toks", "pos", "pairs")) \
+        .select("conv_id", "turn_idx",
+                F.explode(F.arrays_zip("pairs", "feats_list")).alias("z"))
+    feats = z.select(
+        "conv_id", "turn_idx",
+        F.col("z.pairs.sent_id").alias("sent_id"),
+        F.col("z.pairs.em1s").alias("em1_start"),
+        F.col("z.pairs.em1e").alias("em1_end"),
+        F.col("z.pairs.em2s").alias("em2_start"),
+        F.col("z.pairs.em2e").alias("em2_end"),
+        F.explode("z.feats_list").alias("feature"))
     keep = feats.where(F.col("feature").rlike(RM_KEEP_RE))
     return keep.groupBy("conv_id", "turn_idx", "sent_id", "em1_start",
                         "em1_end", "em2_start", "em2_end", "feature") \

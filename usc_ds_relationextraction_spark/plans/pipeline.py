@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.features import make_em_features_udf, make_rm_features_udf
+from ..functions.features import (make_em_features_udf,
+                                  make_rm_grouped_features_udf)
 from ..functions.hashing import h64
 from ..operators import ds_label, graphs, mentions, pairs as pairs_op, vocab
 from ..sources.catalog import Warehouse
@@ -96,15 +97,29 @@ class KGPipeline:
         def build():
             sent = sentences.select("conv_id", "turn_idx", "sent_idx",
                                     "tokens", "pos")
-            j = rm.join(sent, on=["conv_id", "turn_idx", "sent_idx"])
-            udf = make_rm_features_udf(brown)
-            feats = j.withColumn(
-                "features",
-                udf("tokens", "pos", "em1Start", "em1End",
-                    "em2Start", "em2End", "numOfEMBetween"))
-            out = feats.select(
-                "conv_id", "mention_key", "labels",
-                F.explode(F.array_distinct("features")).alias("feature"))
+            # one row per sentence: the grouped UDF ships/lemmatizes each
+            # sentence once for all its pairs (the groupBy partitions on
+            # the join key, so the join reuses that exchange)
+            grouped = rm.groupBy("conv_id", "turn_idx", "sent_idx").agg(
+                F.collect_list(F.struct(
+                    F.col("mention_key"), F.col("labels"),
+                    F.col("em1Start").alias("em1s"),
+                    F.col("em1End").alias("em1e"),
+                    F.col("em2Start").alias("em2s"),
+                    F.col("em2End").alias("em2e"),
+                    F.col("numOfEMBetween").alias("numb"))).alias("pairs"))
+            j = grouped.join(sent, on=["conv_id", "turn_idx", "sent_idx"])
+            udf = make_rm_grouped_features_udf(brown)
+            z = j.withColumn("feats_list", udf("tokens", "pos", "pairs")) \
+                .select("conv_id",
+                        F.explode(F.arrays_zip("pairs", "feats_list"))
+                         .alias("z"))
+            out = z.select(
+                "conv_id",
+                F.col("z.pairs.mention_key").alias("mention_key"),
+                F.col("z.pairs.labels").alias("labels"),
+                F.explode(F.array_distinct("z.feats_list"))
+                 .alias("feature"))
             return self.with_split(out)
         return self.wh.ensure("rm_feature_rows", build, bucket_hint="mention_key")
 
