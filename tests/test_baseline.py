@@ -41,3 +41,15 @@ def test_svm_baseline_f1(rm_rows):
     assert m["pos_gt"] > 50
     assert m["f1"] >= 0.85, m
     assert m["n_classes"] >= 3
+
+
+def test_perceptron_baseline_f1(rm_rows):
+    """Third family (mistake-driven linear — the Perceptron analog):
+    single-layer softmax MLP, layer spec taken from the fitted
+    vectorizer/indexer dimensions."""
+    from usc_ds_relationextraction_spark.plans.baselines import (
+        train_eval_perceptron)
+    m = train_eval_perceptron(rm_rows)
+    assert m["pos_gt"] > 50
+    assert m["f1"] >= 0.85, m
+    assert m["n_classes"] >= 3

@@ -4,9 +4,12 @@ The reference ships a baseline-classifier zoo (``code/Classifier/
 Classifier.py:16-41`` — Perceptron / PLSVM / HierarchySVM / CLPL /
 Logistic) used as its de-facto regression check against the embedding
 model (SURVEY §5.2).  The full zoo is descoped (COVERAGE.md); this module
-restores the cross-model sanity check with ONE Spark-ML pipeline:
-bag-of-features multinomial logistic regression over the same
-``(mention, feature, label)`` rows the embedding trainer consumes.
+restores the cross-model sanity check with THREE Spark-ML families over
+the same ``(mention, feature, label)`` rows the embedding trainer
+consumes: multinomial logistic regression (zoo: Logistic), LinearSVC
+one-vs-rest (zoo: PLSVM's hinge family), and a single-layer softmax
+network (zoo: Perceptron) — log-loss, hinge, and mistake-driven-linear,
+one shared vectorize/index/evaluate scaffold.
 
 Protocol parity with M10 (``evaluation.py:82-111``): the class is the
 EXACT sorted label set (multi-label mentions keep their full set as one
@@ -54,7 +57,13 @@ def _train_eval(feature_rows: DataFrame, make_estimator,
                        handleInvalid="keep")
     si_model = si.fit(train)
 
-    model = make_estimator().fit(si_model.transform(cv_model.transform(train)))
+    # fitted dimensions, for estimators whose topology is size-dependent
+    # (the perceptron's layer spec); +1 class for the indexer's
+    # handleInvalid='keep' bucket on unseen test label sets
+    n_features = len(cv_model.vocabulary)
+    n_classes = len(si_model.labelsArray[0]) + 1
+    model = make_estimator(n_features, n_classes).fit(
+        si_model.transform(cv_model.transform(train)))
 
     pred = model.transform(si_model.transform(cv_model.transform(test)))
     labels = list(si_model.labelsArray[0])
@@ -89,7 +98,7 @@ def train_eval_logistic(feature_rows: DataFrame, max_iter: int = 40,
     Logistic member, Classifier.py:16-41)."""
     from pyspark.ml.classification import LogisticRegression
 
-    def make():
+    def make(_n_features, _n_classes):
         return LogisticRegression(featuresCol="fvec", labelCol="y",
                                   maxIter=max_iter, regParam=reg_param,
                                   family="multinomial")
@@ -108,10 +117,36 @@ def train_eval_svm(feature_rows: DataFrame, max_iter: int = 30,
     check two-family, per the round-2 verdict."""
     from pyspark.ml.classification import LinearSVC, OneVsRest
 
-    def make():
+    def make(_n_features, _n_classes):
         svc = LinearSVC(featuresCol="fvec", labelCol="y",
                         maxIter=max_iter, regParam=reg_param)
         return OneVsRest(classifier=svc, featuresCol="fvec", labelCol="y",
                          parallelism=4)
+
+    return _train_eval(feature_rows, make, vocab_size)
+
+
+def train_eval_perceptron(feature_rows: DataFrame, max_iter: int = 60,
+                          vocab_size: int = 1 << 14) -> dict:
+    """Third family: single-layer softmax network — the Spark-ML analog
+    of the reference zoo's Perceptron member (Classifier.py:16-41;
+    mistake-driven linear separator ≈ one linear layer trained by
+    gradient steps).  ``MultilayerPerceptronClassifier`` with
+    ``layers=[vocab, n_classes]`` is exactly that network: no hidden
+    layer, softmax output, L-BFGS over tree-aggregated gradients — same
+    distributed placement as the other two families.
+
+    The layer spec uses the FITTED dimensions the scaffold passes in
+    (actual CountVectorizer vocabulary; |train labels| + the indexer's
+    handleInvalid='keep' bucket).  Vocab is capped below the LR/SVC
+    default:
+    the MLP weight matrix is materialized densely per task, so
+    vocab × classes is the executor-memory term to bound."""
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+
+    def make(n_features, n_classes):
+        return MultilayerPerceptronClassifier(
+            featuresCol="fvec", labelCol="y", maxIter=max_iter,
+            layers=[n_features, n_classes], seed=7, solver="l-bfgs")
 
     return _train_eval(feature_rows, make, vocab_size)
