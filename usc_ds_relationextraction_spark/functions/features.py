@@ -54,21 +54,71 @@ def get_head(pos: list[str], start: int, end: int) -> int:
     return head
 
 
+# executor-wide memo tables, same pattern as the lemma cache: token
+# frequency is Zipfian, so per-batch recomputation of shape regexes /
+# char-gram slices / Brown prefix emissions is dominated by repeat
+# tokens.  Unbounded like the reference's own `cached` dict — size is
+# the executor-local distinct-token count, vocabulary-scale not
+# corpus-scale.
+_shape_cache: dict[str, str] = {}
+_char_cache: dict[str, list[str]] = {}
+# Brown emissions depend on WHICH dictionary is in play (one worker
+# process serves many UDF instances, and tests run several dicts), so
+# the memo is per-dict: id(brown) → (pinning ref, lemma → emissions).
+# Pinning the dict itself makes id() reuse impossible.
+_brown_caches: dict[int, tuple[dict, dict[str, list[str]]]] = {}
+
+
 def word_shape(token: str) -> str:
+    hit = _shape_cache.get(token)
+    if hit is not None:
+        return hit
     r = _SHAPE_LOWER.sub("a", token)
     r = _SHAPE_UPPER.sub("A", r)
     r = _SHAPE_DIGIT.sub("0", r)
     r = _SHAPE_PUNCT.sub(".", r)
+    _shape_cache[token] = r
     return r
 
 
+def _char_feats(head_tok: str) -> list[str]:
+    """EMCharacterFeature strings for one head token (3-grams + boundary
+    bigrams), memoized per token."""
+    hit = _char_cache.get(head_tok)
+    if hit is not None:
+        return hit
+    fs: list[str] = []
+    if len(head_tok) >= 3:
+        for i in range(0, len(head_tok) - 2):
+            fs.append("CHAR_%s" % head_tok[i:i + 3])
+        fs.append("CHAR_:%s" % head_tok[:2])
+        fs.append("CHAR_%s:" % head_tok[-2:])
+    _char_cache[head_tok] = fs
+    return fs
+
+
 def _brown(lemma: str, brown: dict[str, str], out: list[str]) -> None:
+    # miss path (the overwhelmingly common case — the Brown dictionary
+    # covers a small vocabulary) costs exactly one dict lookup, same as
+    # the unmemoized version; only HIT emissions are memoized (measured:
+    # memoizing misses too made RM featurization ~30% slower)
     cluster = brown.get(lemma)
-    if cluster is not None:
+    if cluster is None:
+        return
+    entry = _brown_caches.get(id(brown))
+    if entry is None:
+        entry = (brown, {})
+        _brown_caches[id(brown)] = entry
+    cache = entry[1]
+    hit = cache.get(lemma)
+    if hit is None:
+        hit = []
         for l in BROWN_PREFIXES:
             if len(cluster) >= l:
-                out.append("BROWN_%d_%s" % (l, cluster[:l]))
-        out.append("BROWN_ALL_%s" % cluster)
+                hit.append("BROWN_%d_%s" % (l, cluster[:l]))
+        hit.append("BROWN_ALL_%s" % cluster)
+        cache[lemma] = hit
+    out.extend(hit)
 
 
 def em_features(tokens: list[str], pos: list[str], start: int, end: int,
@@ -112,12 +162,7 @@ def em_features(tokens: list[str], pos: list[str], start: int, end: int,
     length = end - start
     out.append("LENGTH_%d" % length if length <= 5 else "LENGTH_>5")
     # EMCharacterFeature (head-token char 3-grams + boundary bigrams)
-    head_tok = tokens[h]
-    if len(head_tok) >= 3:
-        for i in range(0, len(head_tok) - 2):
-            out.append("CHAR_%s" % head_tok[i:i + 3])
-        out.append("CHAR_:%s" % head_tok[:2])
-        out.append("CHAR_%s:" % head_tok[-2:])
+    out.extend(_char_feats(tokens[h]))
     # EMBrownFeature (span tokens only)
     for i in range(start, end):
         _brown(lem[i], brown, out)

@@ -65,19 +65,46 @@ def replay_feature_rows(corpus: DataFrame, brown: dict[str, str],
     downstream is IDENTICAL to the synthetic gate's."""
     rm = ref.relation_mentions(corpus)
     tt = ref.turn_tokens(corpus)
-    j = rm.join(tt, ["conv_id", "turn_idx"])
-    udf = make_rm_features_udf(brown)
-    feats = udf("toks", "pos", "em1_start", "em1_end",
-                "em2_start", "em2_end", "num_between")
     if dep_features:
+        # dep arcs are per-pair inputs the grouped featurizer does not
+        # carry — keep the per-pair UDF on this (replay-only) path
         from ..functions.dependencies import make_rm_dep_features_from_arcs
+        j = rm.join(tt, ["conv_id", "turn_idx"])
+        udf = make_rm_features_udf(brown)
+        feats = udf("toks", "pos", "em1_start", "em1_end",
+                    "em2_start", "em2_end", "num_between")
         arcs_udf = make_rm_dep_features_from_arcs()
         dep = arcs_udf("toks", "pos", "dep", "em1_start", "em1_end",
                        "em2_start", "em2_end")
-        feats = F.concat(feats, dep)
-    out = j.select(
-        "conv_id", _rm_key().alias("mention_key"), "labels",
-        F.explode(F.array_distinct(feats)).alias("feature"))
+        out = j.select(
+            "conv_id", _rm_key().alias("mention_key"), "labels",
+            F.explode(F.array_distinct(F.concat(feats, dep)))
+            .alias("feature"))
+        return out.withColumn("is_test", F.lit(bool(is_test)))
+    # hot path: group pairs per sentence so each sentence's token/pos
+    # arrays cross Arrow once and the lemma array is computed once for
+    # all its pairs (same fusion as KGPipeline.rm_feature_rows)
+    from ..functions.features import make_rm_grouped_features_udf
+    grouped = rm.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list(F.struct(
+            F.col("labels"),
+            F.col("em1_start").alias("em1s"),
+            F.col("em1_end").alias("em1e"),
+            F.col("em2_start").alias("em2s"),
+            F.col("em2_end").alias("em2e"),
+            F.col("num_between").alias("numb"))).alias("pairs"))
+    j = grouped.join(tt, ["conv_id", "turn_idx"])
+    udf = make_rm_grouped_features_udf(brown)
+    z = j.withColumn("feats_list", udf("toks", "pos", "pairs")) \
+        .select("conv_id", "turn_idx",
+                F.explode(F.arrays_zip("pairs", "feats_list")).alias("z"))
+    key = F.concat_ws("|", "conv_id", "turn_idx",
+                      F.col("z.pairs.em1s"), F.col("z.pairs.em1e"),
+                      F.col("z.pairs.em2s"), F.col("z.pairs.em2e"))
+    out = z.select(
+        "conv_id", key.alias("mention_key"),
+        F.col("z.pairs.labels").alias("labels"),
+        F.explode(F.array_distinct("z.feats_list")).alias("feature"))
     return out.withColumn("is_test", F.lit(bool(is_test)))
 
 
