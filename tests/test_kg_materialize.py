@@ -78,3 +78,48 @@ def test_kg_tables_resume_from_warehouse(kg):
     again = kg["pipe"].kg_tables(kg["aliases"], kg["facts"])
     assert again["kg_entities"].count() == n0
     assert again["kg_edges"].count() == e0
+
+
+def test_connected_components_chain(spark):
+    """A 4-vertex chain needs multiple propagation rounds to flood the
+    min id to the far end; plus an isolated vertex and a 2-cycle."""
+    from usc_ds_relationextraction_spark.plans.kg_materialize import (
+        connected_components)
+    v = spark.createDataFrame(
+        [(x,) for x in "abcdexy"], "entity_id string")
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    e = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src string, dst string")
+    got = {(r.entity_id, r.component_id)
+           for r in connected_components(v, e).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+                   ("e", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_connected_components_non_convergence_raises(spark):
+    from usc_ds_relationextraction_spark.plans.kg_materialize import (
+        connected_components)
+    import pytest as _pytest
+    v = spark.createDataFrame([(x,) for x in "abcd"], "entity_id string")
+    und = [("a", "b"), ("b", "c"), ("c", "d")]
+    e = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src string, dst string")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(v, e, max_iter=1)
+
+
+def test_alias_blocking_df_window(spark):
+    """min_df drops singleton tokens (no edge), max_df drops hub tokens
+    (quadratic stop-block)."""
+    from usc_ds_relationextraction_spark.plans.kg_materialize import (
+        alias_blocking_edges)
+    rows = [("Ann Corp", "e1"), ("Bob Corp", "e2"), ("Cid Corp", "e3"),
+            ("Ann Reyes", "e4"), ("Zoe Solo", "e5")]
+    al = spark.createDataFrame(
+        [(a, i, "T") for a, i in rows],
+        "alias string, entity_id string, entity_type string")
+    got = {(r.src, r.dst)
+           for r in alias_blocking_edges(al, min_df=2, max_df=2).collect()}
+    # 'corp' df=3 > max_df → dropped; 'ann' df=2 links e1-e4; 'solo'
+    # df=1 → no edge
+    assert got == {("e1", "e4"), ("e4", "e1")}

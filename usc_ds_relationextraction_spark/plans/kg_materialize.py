@@ -134,6 +134,87 @@ def canonical_edges_from_pairs(pairs: DataFrame, facts: DataFrame,
     return canonical_edges(labeled, aliases)
 
 
+def alias_blocking_edges(aliases: DataFrame, min_df: int = 2,
+                         max_df: int = 16) -> DataFrame:
+    """Entity-resolution candidate edges by TOKEN BLOCKING: two entities
+    link when their alias surfaces share a token ("Erin Smith" /
+    "Erin Jones" share "erin").  The classic ER blocking heuristic.
+
+    Scale shape: the self-join key is the blocking token, and token df
+    is Zipfian — a hub token with df=d contributes d² pairs, so the df
+    window is the skew mitigation, not an optimization: ``min_df`` drops
+    singletons (no pair), ``max_df`` drops stop-tokens ("corp", "inc",
+    "smith" at web scale) whose quadratic blow-up adds no discriminative
+    signal.  The df table is token-vocabulary-sized and broadcasts.
+    Output has both (a,b) and (b,a) by join symmetry — the propagation
+    step wants directed edges both ways."""
+    tok = aliases.select(
+        "entity_id",
+        F.explode(F.split(F.lower("alias"), " ")).alias("t")).distinct()
+    df_ok = tok.groupBy("t").agg(
+        F.countDistinct("entity_id").alias("df")) \
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df)) \
+        .select("t")
+    t2 = tok.join(F.broadcast(df_ok), on="t")
+    return t2.alias("a").join(t2.alias("b"), on="t") \
+        .select(F.col("a.entity_id").alias("src"),
+                F.col("b.entity_id").alias("dst")) \
+        .where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """Distributed connected components by min-label propagation:
+    every vertex starts labeled with its own id; each round it takes the
+    min of its label and its neighbors' labels; at fixpoint every member
+    of a component carries the component's min id.  Rounds needed ≈
+    graph diameter (alias-blocking graphs are shallow: star-shaped
+    around shared tokens).
+
+    Spark mechanics: each round is one join + one partial-aggregated
+    groupBy min — no driver-side graph state, labels stay a distributed
+    (id, comp) table.  ``localCheckpoint(eager=True)`` truncates lineage
+    each round (an iterative plan otherwise grows by two joins per
+    round and re-executes from scratch at every convergence check).
+    Convergence is checked with a LIMIT 1 existence probe, not a full
+    count.  Raises if not converged within ``max_iter`` — silent
+    truncation would emit wrong components.
+
+    ``vertices``: one column ``entity_id``; ``edges``: ``src``/``dst``
+    with both directions present."""
+    lab = vertices.select(F.col("entity_id").alias("id"),
+                          F.col("entity_id").alias("comp"))
+    lab = lab.localCheckpoint(eager=True)
+    e = edges.select("src", "dst")
+    for _ in range(max_iter):
+        nb = e.join(lab.withColumnRenamed("id", "src"), on="src") \
+            .groupBy("dst").agg(F.min("comp").alias("nb_comp"))
+        new = lab.join(nb.withColumnRenamed("dst", "id"), on="id", how="left") \
+            .select("id",
+                    F.least("comp", F.coalesce("nb_comp", "comp"))
+                    .alias("comp"))
+        new = new.localCheckpoint(eager=True)
+        changed = new.alias("n") \
+            .join(lab.alias("o"), on="id") \
+            .where(F.col("n.comp") != F.col("o.comp")).limit(1).count()
+        lab = new
+        if changed == 0:
+            return lab.select(F.col("id").alias("entity_id"),
+                              F.col("comp").alias("component_id"))
+    raise RuntimeError(
+        f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def resolve_entities(aliases: DataFrame, min_df: int = 2,
+                     max_df: int = 16) -> DataFrame:
+    """(entity_id, component_id): KB-duplicate resolution — entities in
+    one blocking component share a canonical ``component_id`` (the min
+    member id).  Singletons resolve to themselves."""
+    v = aliases.select("entity_id").distinct()
+    return connected_components(v, alias_blocking_edges(
+        aliases, min_df, max_df))
+
+
 def materialize_kg(wh, linked: DataFrame, labeled_pairs: DataFrame,
                    aliases: DataFrame) -> dict[str, DataFrame]:
     """Write the entity/edge tables through the warehouse (parquet or
@@ -163,10 +244,20 @@ def kg_canonical_edges(spark: SparkSession, sf: str) -> DataFrame:
     return canonical_edges(lp, aliases)
 
 
+def kg_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver gate for the iterative CC operator: the Spark side runs
+    min-label propagation to fixpoint; the DuckDB oracle computes min
+    REACHABLE id per vertex with a recursive CTE (UNION-deduped walk) —
+    two structurally different algorithms that must agree exactly."""
+    e = _entry()
+    return resolve_entities(e._fx(spark, sf, "kb_aliases"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_entity_nodes": kg_entity_nodes,
         "kg_canonical_edges": kg_canonical_edges,
+        "kg_entity_resolution": kg_entity_resolution,
     }
 
 
@@ -218,4 +309,29 @@ FROM agg a
 JOIN canon cs ON a.subj_id = cs.entity_id
 JOIN canon co ON a.obj_id = co.entity_id
 """
-    return {"kg_entity_nodes": nodes, "kg_canonical_edges": edges}
+    resolution = f"""
+WITH RECURSIVE
+tok AS (
+  SELECT DISTINCT entity_id, unnest(string_split(lower(alias), ' ')) AS t
+  FROM {al}
+),
+ok AS (
+  SELECT t FROM tok GROUP BY t
+  HAVING COUNT(DISTINCT entity_id) BETWEEN 2 AND 16
+),
+e AS (
+  SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
+  FROM tok a JOIN ok USING (t) JOIN tok b USING (t)
+  WHERE a.entity_id <> b.entity_id
+),
+v AS (SELECT DISTINCT entity_id FROM {al}),
+walk AS (
+  SELECT entity_id, entity_id AS reach FROM v
+  UNION
+  SELECT w.entity_id, e.dst AS reach FROM walk w JOIN e ON e.src = w.reach
+)
+SELECT entity_id, MIN(reach) AS component_id
+FROM walk GROUP BY entity_id
+"""
+    return {"kg_entity_nodes": nodes, "kg_canonical_edges": edges,
+            "kg_entity_resolution": resolution}
