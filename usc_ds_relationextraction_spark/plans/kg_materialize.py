@@ -226,7 +226,11 @@ def materialize_kg(wh, linked: DataFrame, labeled_pairs: DataFrame,
     edges = wh.ensure("kg_edges",
                       lambda: canonical_edges(labeled_pairs, aliases),
                       bucket_hint="subj_id")
-    return {"kg_entities": nodes, "kg_edges": edges}
+    comps = wh.ensure("kg_components",
+                      lambda: resolve_entities(aliases),
+                      bucket_hint="entity_id")
+    return {"kg_entities": nodes, "kg_edges": edges,
+            "kg_components": comps}
 
 
 # ----------------------------------------------------------- driver gate

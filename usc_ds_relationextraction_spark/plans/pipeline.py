@@ -196,7 +196,11 @@ class KGPipeline:
             "kg_edges",
             lambda: kg.canonical_edges_from_pairs(pairs, facts, aliases),
             bucket_hint="subj_id")
-        return {"kg_entities": nodes, "kg_edges": edges}
+        comps = self.wh.ensure(
+            "kg_components", lambda: kg.resolve_entities(aliases),
+            bucket_hint="entity_id")
+        return {"kg_entities": nodes, "kg_edges": edges,
+                "kg_components": comps}
 
     # ------------------------------------------------------------ full run
     def run(self, turns: DataFrame, aliases: DataFrame,
