@@ -123,3 +123,22 @@ def test_alias_blocking_df_window(spark):
     # 'corp' df=3 > max_df → dropped; 'ann' df=2 links e1-e4; 'solo'
     # df=1 → no edge
     assert got == {("e1", "e4"), ("e4", "e1")}
+
+
+def test_edges_by_component(spark):
+    """Collapse re-keys endpoints, merges support, drops now-reflexive
+    edges."""
+    from usc_ds_relationextraction_spark.plans.kg_materialize import (
+        edges_by_component)
+    edges = spark.createDataFrame(
+        [("e1", "works_at", "e9", 3, 2),
+         ("e2", "works_at", "e9", 1, 1),   # e2 resolves into e1's comp
+         ("e1", "knows", "e2", 5, 4)],     # both endpoints one comp → drop
+        "subj_id string, pred string, obj_id string, "
+        "n_support bigint, n_convs bigint")
+    comps = spark.createDataFrame(
+        [("e1", "e1"), ("e2", "e1"), ("e9", "e9")],
+        "entity_id string, component_id string")
+    got = {(r.subj_id, r.pred, r.obj_id, r.n_support, r.n_convs)
+           for r in edges_by_component(edges, comps).collect()}
+    assert got == {("e1", "works_at", "e9", 4, 3)}

@@ -215,6 +215,34 @@ def resolve_entities(aliases: DataFrame, min_df: int = 2,
         aliases, min_df, max_df))
 
 
+def edges_by_component(edges: DataFrame,
+                       components: DataFrame) -> DataFrame:
+    """Collapse canonical edges onto resolved components: both endpoints
+    re-keyed to their ``component_id``, support re-aggregated, and
+    now-reflexive edges (both endpoints in one component) dropped — a
+    resolved KB duplicate asserting a relation to itself is linkage
+    noise, not a fact.  Two broadcast joins (the component map is
+    entity-vocabulary-sized) + one partial-aggregated groupBy.
+
+    ``n_convs`` is summed over the merged input edges, so it is an
+    UPPER BOUND on distinct supporting conversations (one conversation
+    can support two edges that merge); an exact recount needs the
+    pre-aggregation evidence rows, not the edge table."""
+    comp = F.broadcast(components)
+    return edges \
+        .join(comp.select(F.col("entity_id").alias("subj_id"),
+                          F.col("component_id").alias("subj_comp")),
+              on="subj_id") \
+        .join(comp.select(F.col("entity_id").alias("obj_id"),
+                          F.col("component_id").alias("obj_comp")),
+              on="obj_id") \
+        .where(F.col("subj_comp") != F.col("obj_comp")) \
+        .groupBy(F.col("subj_comp").alias("subj_id"), "pred",
+                 F.col("obj_comp").alias("obj_id")) \
+        .agg(F.sum("n_support").alias("n_support"),
+             F.sum("n_convs").alias("n_convs"))
+
+
 def materialize_kg(wh, linked: DataFrame, labeled_pairs: DataFrame,
                    aliases: DataFrame) -> dict[str, DataFrame]:
     """Write the entity/edge tables through the warehouse (parquet or
