@@ -189,15 +189,17 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     for _ in range(max_iter):
         nb = e.join(lab.withColumnRenamed("id", "src"), on="src") \
             .groupBy("dst").agg(F.min("comp").alias("nb_comp"))
+        # the changed flag rides the checkpointed frame, so convergence
+        # is a scan of already-materialized partitions — no second join
+        # of new-vs-old labels per round
         new = lab.join(nb.withColumnRenamed("dst", "id"), on="id", how="left") \
             .select("id",
                     F.least("comp", F.coalesce("nb_comp", "comp"))
-                    .alias("comp"))
+                    .alias("comp"),
+                    (F.col("nb_comp") < F.col("comp")).alias("chg"))
         new = new.localCheckpoint(eager=True)
-        changed = new.alias("n") \
-            .join(lab.alias("o"), on="id") \
-            .where(F.col("n.comp") != F.col("o.comp")).limit(1).count()
-        lab = new
+        changed = new.where("chg").limit(1).count()
+        lab = new.select("id", "comp")
         if changed == 0:
             return lab.select(F.col("id").alias("entity_id"),
                               F.col("comp").alias("component_id"))
