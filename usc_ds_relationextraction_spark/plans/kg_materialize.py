@@ -287,11 +287,23 @@ def kg_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
     return resolve_entities(e._fx(spark, sf, "kb_aliases"))
 
 
+def kg_collapsed_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver gate for the full canonicalization chain: DS-labeled pairs
+    → canonical edges → entity resolution → component-collapsed edges.
+    The oracle recomputes every hop in SQL, with the CC step again done
+    by the recursive-CTE walk."""
+    e = _entry()
+    lp = e._labeled_pairs_df(spark, sf)
+    aliases = e._fx(spark, sf, "kb_aliases")
+    return edges_by_component(canonical_edges(lp), resolve_entities(aliases))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_entity_nodes": kg_entity_nodes,
         "kg_canonical_edges": kg_canonical_edges,
         "kg_entity_resolution": kg_entity_resolution,
+        "kg_collapsed_edges": kg_collapsed_edges,
     }
 
 
@@ -367,5 +379,55 @@ walk AS (
 SELECT entity_id, MIN(reach) AS component_id
 FROM walk GROUP BY entity_id
 """
+    collapsed = f"""
+WITH RECURSIVE
+{e._sql_pairs().lstrip()},
+evidence AS (
+  SELECT f.subj_id, f.relation AS pred, f.obj_id, p.conv_id
+  FROM pairs p JOIN {facts} f
+    ON p.em1_entity = f.subj_id AND p.em2_entity = f.obj_id
+  UNION ALL
+  SELECT f.subj_id, f.relation AS pred, f.obj_id, p.conv_id
+  FROM pairs p JOIN {facts} f
+    ON p.em2_entity = f.subj_id AND p.em1_entity = f.obj_id
+),
+agg AS (
+  SELECT subj_id, pred, obj_id,
+         COUNT(*) AS n_support, COUNT(DISTINCT conv_id) AS n_convs
+  FROM evidence GROUP BY subj_id, pred, obj_id
+),
+tok AS (
+  SELECT DISTINCT entity_id, unnest(string_split(lower(alias), ' ')) AS t
+  FROM {al}
+),
+ok AS (
+  SELECT t FROM tok GROUP BY t
+  HAVING COUNT(DISTINCT entity_id) BETWEEN 2 AND 16
+),
+eg AS (
+  SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
+  FROM tok a JOIN ok USING (t) JOIN tok b USING (t)
+  WHERE a.entity_id <> b.entity_id
+),
+v AS (SELECT DISTINCT entity_id FROM {al}),
+walk AS (
+  SELECT entity_id, entity_id AS reach FROM v
+  UNION
+  SELECT w.entity_id, eg.dst AS reach FROM walk w JOIN eg ON eg.src = w.reach
+),
+comp AS (
+  SELECT entity_id, MIN(reach) AS component_id
+  FROM walk GROUP BY entity_id
+)
+SELECT cs.component_id AS subj_id, a.pred, co.component_id AS obj_id,
+       CAST(SUM(a.n_support) AS BIGINT) AS n_support,
+       CAST(SUM(a.n_convs) AS BIGINT) AS n_convs
+FROM agg a
+JOIN comp cs ON a.subj_id = cs.entity_id
+JOIN comp co ON a.obj_id = co.entity_id
+WHERE cs.component_id <> co.component_id
+GROUP BY cs.component_id, a.pred, co.component_id
+"""
     return {"kg_entity_nodes": nodes, "kg_canonical_edges": edges,
-            "kg_entity_resolution": resolution}
+            "kg_entity_resolution": resolution,
+            "kg_collapsed_edges": collapsed}
