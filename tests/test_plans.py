@@ -84,3 +84,20 @@ def test_partial_aggregation_on_hot_path(spark):
     agg_first = plan.index("HashAggregate")
     assert "Exchange" in plan[agg_first:]
     assert "BroadcastHashJoin" in plan
+
+
+def test_er_blocking_plan_hygiene(spark):
+    """The ER candidate-edge plan: df filter broadcast to the self-join
+    sides, no cartesian, no Python anywhere (pure relational blocking)."""
+    from usc_ds_relationextraction_spark.plans.kg_materialize import (
+        alias_blocking_edges)
+    aliases = e._fx(spark, SF, "kb_aliases")
+    df = alias_blocking_edges(aliases)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # fully JVM-side
+    assert "BroadcastHashJoin" in plan    # df window broadcasts
