@@ -25,6 +25,12 @@ output key):
    join), then grouped by ``(subj_id, pred, obj_id)`` with evidence
    counts.  Every emitted edge is, by construction, a KB fact observed
    in text — the edge weight is its support.
+ - :func:`resolve_entities` — KB-duplicate resolution:
+   :func:`alias_blocking_edges` (token blocking, df-window skew
+   mitigation) + :func:`connected_components` (distributed min-label
+   propagation, ``localCheckpoint`` lineage truncation); consumed by
+   :func:`edges_by_component`, which collapses canonical edges onto the
+   resolved components.
 
 Scale notes (100 TB regime): the groupBys key on ``entity_id`` /
 ``(subj_id, pred, obj_id)`` — hub entities make these skewed, but both
