@@ -343,3 +343,75 @@ def stream_entity_updates(spark: SparkSession, source_dir: str,
     upd = conversation_entity_updates(linked)
     return (upd.writeStream.format("memory").queryName(query_name)
             .outputMode("update").trigger(availableNow=True).start())
+
+
+def stream_kg_edges(spark: SparkSession, source_dir: str,
+                    checkpoint_dir: str, target: str,
+                    max_files_per_trigger: int = 1,
+                    schema: str = ("conv_id string, turn_idx int, role string,"
+                                   " text string, tool string, ts timestamp")):
+    """Incremental KG materialization: readStream(turns) → turn-local
+    triple evidence → ``incremental_agg_sink`` folding each micro-batch's
+    per-edge support counts into the running canonical edge table
+    ``(subj, pred, obj, n_support)``.
+
+    This is the streaming twin of ``plans.kg_materialize.canonical_edges``
+    — at 10^12-turn scale the edge table is maintained, never recomputed:
+    each micro-batch contributes an additive delta merged under an atomic
+    commit (parquet pointer flip in the sandbox; Iceberg MERGE at scale).
+    Exact ``n_convs`` is deliberately absent (COUNT DISTINCT is not
+    batch-additive); compose ``streaming_dedup_sink`` at
+    (subj, pred, obj, conv_id) grain and aggregate on read if needed.
+    ``maxFilesPerTrigger=1`` forces one micro-batch per input file so the
+    merge path actually iterates (the testable property)."""
+    from ..sources.catalog import incremental_agg_sink
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .load(source_dir))
+    evidence = turn_local_triples_join(
+        stream, syn.kb_aliases(spark), syn.kb_facts(spark)) \
+        .select("subj", "pred", "obj", F.lit(1).alias("n_support"))
+    sink = incremental_agg_sink(spark, target,
+                                key_cols=["subj", "pred", "obj"],
+                                sum_cols=["n_support"])
+    return (evidence.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def stream_kg_nodes(spark: SparkSession, source_dir: str,
+                    checkpoint_dir: str, target: str,
+                    max_files_per_trigger: int = 1,
+                    schema: str = ("conv_id string, turn_idx int, role string,"
+                                   " text string, tool string, ts timestamp")):
+    """Incremental KG node table: readStream(turns) → NP chunks →
+    stream-static alias join → ``incremental_agg_sink`` folding per-entity
+    mention counts (sum-mergeable) and first/smallest observed surface +
+    entity type (min-mergeable) into ``(entity_id, n_mentions,
+    first_surface, entity_type)``.
+
+    The batch ``kg_materialize.entity_nodes`` columns that are NOT
+    merge-associative are deliberately absent: exact ``n_convs``
+    (COUNT DISTINCT) and the full ``surfaces`` set need a dedup table or
+    a sketch; ``canonical_name`` is a static broadcast join against the
+    alias dimension on read, not state."""
+    from ..sources.catalog import incremental_agg_sink
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .load(source_dir))
+    t = stream.withColumn("toks", tokens_col("text")) \
+        .withColumn("pos", pos_tags_col("toks")) \
+        .withColumn("chunk", F.explode(np_chunks_col("toks", "pos"))) \
+        .select(F.col("chunk.surface").alias("surface"))
+    al = syn.kb_aliases(spark).select(
+        F.col("alias").alias("surface"), "entity_id", "entity_type") \
+        .dropDuplicates(["surface", "entity_id"])
+    evidence = t.join(F.broadcast(al), on="surface") \
+        .select("entity_id", F.lit(1).alias("n_mentions"),
+                F.col("surface").alias("first_surface"), "entity_type")
+    sink = incremental_agg_sink(spark, target, key_cols=["entity_id"],
+                                sum_cols=["n_mentions"],
+                                min_cols=["first_surface", "entity_type"])
+    return (evidence.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
