@@ -20,7 +20,7 @@ HEADLINE = [
     "triples_ds", "p1_tokenize", "np_chunk_mentions", "p4_pair_generation",
     "a3_cooccur_counts", "w4_threshold_sweep", "m11_threshold_tune",
     "dedup_exact", "dedup_minhash", "ann_topk_lsh", "ann_topk_ivf",
-    "f13_dep_features", "s1_reference_replay",
+    "ann_topk_ivf_nprobe", "f13_dep_features", "s1_reference_replay",
 ]
 
 

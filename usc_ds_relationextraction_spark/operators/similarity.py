@@ -188,3 +188,44 @@ def centroid_assign(emb: DataFrame, dim: int,
         .where("rk = 1") \
         .select("vec_id", "label",
                 F.col("c_label").alias("assigned_label"), "qdot")
+
+
+def ann_topk_ivf_nprobe(emb: DataFrame, dim: int, n_queries: int = 10,
+                        k: int = 5, nprobe: int = 2,
+                        vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat ANN with multi-cell probing (nprobe>1): base vectors
+    live in exactly ONE cell (argmax-dot assignment), queries probe
+    their ``nprobe`` nearest cells — the standard IVF recall lever
+    (recall is monotone in nprobe; cost grows by ~nprobe× candidates,
+    still nowhere near the full crossJoin).  Plan shape at scale is
+    unchanged from nprobe=1: broadcast centroid codebook, one narrow
+    rank over cells per vector, one per-cell candidate join; because
+    each base vector has a single home cell, (query, candidate) pairs
+    are unique across probes — no dedup stage needed."""
+    q = quantized(vec_col)
+    e = emb.select("vec_id", "label", q.alias("q"))
+    aggs = [F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)]
+    g = e.groupBy("label").agg(F.count("*").alias("n"), *aggs)
+    cent = g.select(
+        F.col("label").alias("c_label"),
+        F.array(*[F.floor(F.col(f"s{i}") * 1000.0 / F.col("n"))
+                  .cast("bigint") for i in range(dim)]).alias("cvec"))
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "q", "c_label",
+        int_dot(F.col("q"), F.col("cvec")).alias("cdot"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.col("c_label"))
+    ranked = scored.withColumn("crk", F.row_number().over(w))
+    base = ranked.where("crk = 1").select(
+        "vec_id", "q", F.col("c_label").alias("cell"))
+    probes = ranked.where((F.col("crk") <= nprobe)
+                          & (F.col("vec_id") < n_queries)) \
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"),
+                F.col("c_label").alias("cell"))
+    cand = probes.join(base.withColumnRenamed("vec_id", "nn_id"), on="cell") \
+        .where(F.col("query_id") != F.col("nn_id"))
+    sc = cand.select("query_id", "nn_id",
+                     int_dot(F.col("qq"), F.col("q")).alias("qdot"))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("qdot"),
+                                                F.col("nn_id"))
+    return sc.withColumn("rk", F.row_number().over(wk).cast("int")) \
+        .where(F.col("rk") <= k)

@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tau_milli=TAU_MILLI)
     Q["ann_topk_ivf"] = lambda s, sf: similarity.ann_topk_ivf(
         _t(s, sf, "embeddings"), EMB_DIM)
+    Q["ann_topk_ivf_nprobe"] = lambda s, sf: similarity.ann_topk_ivf_nprobe(
+        _t(s, sf, "embeddings"), EMB_DIM, nprobe=2)
     Q["a9_label_centroids"] = lambda s, sf: similarity.label_centroids(
         _t(s, sf, "embeddings"), EMB_DIM)
     Q["j7_centroid_assign"] = lambda s, sf: similarity.centroid_assign(
@@ -402,6 +404,51 @@ cand AS (
                                       i -> qs.qq[i] * b.q[i])) AS BIGINT)
            AS qdot
   FROM qs JOIN base b ON qs.cell = b.cell AND qs.query_id <> b.vec_id
+)
+SELECT query_id, nn_id, qdot, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qdot DESC, nn_id) AS rk
+  FROM cand
+) WHERE rk <= 5
+"""
+
+    # nprobe=2 IVF: identical derivation, except QUERIES keep their two
+    # best cells (crk <= 2) while base vectors stay in one home cell —
+    # so (query, candidate) pairs are unique across probes by construction
+    O["ann_topk_ivf_nprobe"] = f"""WITH base0 AS (
+  SELECT vec_id, label, {qexpr} AS q FROM embeddings
+),
+g AS (SELECT label AS c_label, COUNT(*) AS n, {sums64}
+      FROM base0 GROUP BY label),
+cent AS (SELECT c_label, {clist} AS cvec FROM g),
+ascore AS (
+  SELECT b.vec_id, c.c_label,
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                                      i -> b.q[i] * c.cvec[i])) AS BIGINT)
+           AS cdot
+  FROM base0 b CROSS JOIN cent c
+),
+ranked AS (
+  SELECT vec_id, c_label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cdot DESC, c_label) AS crk
+  FROM ascore
+),
+base AS (
+  SELECT b.vec_id, b.q, r.c_label AS cell FROM base0 b
+  JOIN ranked r ON b.vec_id = r.vec_id AND r.crk = 1
+),
+probes AS (
+  SELECT r.vec_id AS query_id, b0.q AS qq, r.c_label AS cell
+  FROM ranked r JOIN base0 b0 ON r.vec_id = b0.vec_id
+  WHERE r.crk <= 2 AND r.vec_id < 10
+),
+cand AS (
+  SELECT p.query_id, b.vec_id AS nn_id,
+         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                                      i -> p.qq[i] * b.q[i])) AS BIGINT)
+           AS qdot
+  FROM probes p JOIN base b ON p.cell = b.cell AND p.query_id <> b.vec_id
 )
 SELECT query_id, nn_id, qdot, CAST(rk AS INT) AS rk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
