@@ -269,7 +269,27 @@ def _executor_mode(n_turns: int) -> None:
     # tenants inherited the cache it warmed, inflating the reported
     # N->4N efficiency (round-2 advisor finding)
     _subprocess_level(lo)
+    # third contention signal (round-3 #9 gap): external load during the
+    # SINGLE phase slows the 1x baseline and INFLATES efficiency — repeat
+    # #9 reported a nonsense 1.083 because its 1x ran at 94k turns/sec
+    # (idle band: 119–128k) under ambient load the tenant-phase signals
+    # cannot see.  Sample loadavg here too; budget = the one lo-core job
+    # (+25% slack), same rule as the tenant phase.
+    s_samples: list[float] = []
+    s_stop = threading.Event()
+
+    def _s_sample() -> None:
+        while not s_stop.wait(5.0):
+            with open("/proc/loadavg") as fh:
+                s_samples.append(float(fh.read().split()[0]))
+
+    s_thread = threading.Thread(target=_s_sample, daemon=True)
+    s_thread.start()
     t_single = _subprocess_level(lo)
+    s_stop.set()
+    s_thread.join(timeout=6.0)
+    single_load_peak = max(s_samples) if s_samples else 0.0
+    single_load_budget = lo * 1.25
     thr_single = n_turns / t_single
     with open("/proc/loadavg") as f:
         load_before = float(f.read().split()[0])
@@ -307,7 +327,8 @@ def _executor_mode(n_turns: int) -> None:
     spread = (max(walls) - min(walls)) / min(walls)
     load_peak = max(samples) if samples else 0.0
     load_budget = n_tenants * lo * 1.25
-    contended = spread > 0.15 or load_peak > load_budget
+    contended = (spread > 0.15 or load_peak > load_budget
+                 or single_load_peak > single_load_budget)
     out = {
         "stage": STAGE, "mode": "executor_scaling",
         "n_convs": N_CONVS, "n_turns": n_turns,
@@ -322,6 +343,8 @@ def _executor_mode(n_turns: int) -> None:
         "loadavg_before_tenants": load_before,
         "loadavg_peak_during_tenants": round(load_peak, 2),
         "loadavg_budget": load_budget,
+        "loadavg_peak_during_single": round(single_load_peak, 2),
+        "single_load_budget": single_load_budget,
         "contended": contended,
         "authoritative": not contended,
     }

@@ -158,3 +158,39 @@ def test_stream_kg_edges_equals_batch(spark, tiny_corpus, tmp_path):
         .agg(F.count(F.lit(1)).alias("n_support"))
     want = {(r.subj, r.pred, r.obj): r.n_support for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_batch_split_invariance_property(spark, tmp_path):
+    """Property (hypothesis): ANY split of the evidence rows into ordered
+    batches folds to the same final table — merge-associativity is the
+    whole correctness argument for incremental maintenance, so it gets a
+    randomized check, not just the two hand-picked splits above."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows = [("a", "r", "b"), ("a", "r", "b"), ("c", "r", "d"),
+            ("a", "r", "b"), ("c", "r", "d"), ("e", "r", "f"),
+            ("e", "r", "f"), ("a", "q", "b")]
+    want = {}
+    for s, p, o in rows:
+        want[(s, p, o)] = want.get((s, p, o), 0) + 1
+    case = [0]
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(cuts=st.lists(st.integers(1, len(rows) - 1),
+                         min_size=0, max_size=3, unique=True))
+    def check(cuts):
+        case[0] += 1
+        target = str(tmp_path / f"edges{case[0]}")
+        sink = incremental_agg_sink(spark, target,
+                                    ["subj", "pred", "obj"], ["n_support"])
+        bounds = [0] + sorted(cuts) + [len(rows)]
+        for i in range(len(bounds) - 1):
+            chunk = rows[bounds[i]:bounds[i + 1]]
+            sink(_rows(spark, [(s, p, o, 1) for s, p, o in chunk]), i)
+        got = {(r.subj, r.pred, r.obj): r.n_support
+               for r in read_current_version(spark, target).collect()}
+        assert got == want
+
+    check()
