@@ -127,3 +127,18 @@ def test_stateful_entity_tracking(spark, tiny_corpus, tmp_path):
     for c, n in w.items():
         assert g[c] == (n, n), (c, g[c], n)
     assert n_batches >= 2  # state genuinely evolved across micro-batches
+
+
+def test_pair_generator_arrow_jvm_agreement(spark, tiny_corpus):
+    """The fused Arrow pair UDF (hot path) and the pure-JVM HOF
+    formulation (equivalence oracle) emit the IDENTICAL pair multiset —
+    start/surface/sent_id on both ends."""
+    from usc_ds_relationextraction_spark.streaming.ingest import (
+        turn_local_pairs)
+    cols = ["conv_id", "turn_idx", "p.a.start", "p.a.surface",
+            "p.a.sent_id", "p.b.start", "p.b.surface", "p.b.sent_id"]
+    a = sorted(map(tuple, turn_local_pairs(tiny_corpus)
+                   .select(*cols).collect()))
+    b = sorted(map(tuple, turn_local_pairs(tiny_corpus, use_arrow=False)
+                   .select(*cols).collect()))
+    assert a == b and len(a) > 0

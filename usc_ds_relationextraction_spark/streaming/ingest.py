@@ -21,14 +21,98 @@ exactly on the same corpus.
 
 from __future__ import annotations
 
+import bisect
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-from ..functions.tokenize import pos_tags_col, tokens_col
-from ..operators.mentions import np_chunks_col
+from ..functions.tokenize import _tag_one, pos_tags_col, tokens_col
+from ..operators.mentions import np_chunks_col, np_chunks_py
 from ..sources import synthetic as syn
 
 TERMINALS = (".", "?", "!")
+_TERMINALS_SET = frozenset(TERMINALS)
+
+PAIR_SCHEMA = ("array<struct<a:struct<start:int,surface:string,sent_id:int>,"
+               "b:struct<start:int,surface:string,sent_id:int>>>")
+
+
+def turn_pairs_py(text: str) -> list:
+    """Plain-python twin of the JVM-HOF pair generator: whitespace
+    tokenize → rule POS → NNP-run chunks → within-sentence ordered pairs.
+    Shares `_tag_one`/`np_chunks_py` with the batch Arrow UDFs, so the
+    agreement test pins one tokenizer/tagger/chunker family."""
+    toks = [t for t in text.split(" ") if t] if isinstance(text, str) else []
+    if not toks:
+        return []
+    ps = [_tag_one(t) for t in toks]
+    chunks = np_chunks_py(toks, ps)
+    if len(chunks) < 2:
+        return []
+    term = [i for i, t in enumerate(toks) if t in _TERMINALS_SET]
+    ann = [{"start": c["start"], "surface": c["surface"],
+            "sent_id": bisect.bisect_left(term, c["start"])}
+           for c in chunks]
+    out = []
+    for i in range(len(ann)):
+        for j in range(i + 1, len(ann)):
+            a, b = ann[i], ann[j]
+            if a["sent_id"] == b["sent_id"] and a["start"] < b["start"]:
+                out.append({"a": a, "b": b})
+    return out
+
+
+_PAIRS_UDF_CACHE: dict[str, object] = {}
+
+
+def turn_pairs_udf():
+    """Fused tokenize→POS→chunk→pair Arrow UDF — ONE Arrow crossing per
+    turn.  This is the hot path: the JVM-HOF formulation (kept below for
+    the agreement test) evaluates interpreted, and column references
+    inside its nested lambdas re-inline the whole upstream expression
+    (see `_let`) — measured 3.3k turns/sec even after let-binding, vs
+    the batch-path UDF family's ~100k+."""
+    if "pairs" not in _PAIRS_UDF_CACHE:
+        @pandas_udf(PAIR_SCHEMA)
+        def _udf(text: pd.Series) -> pd.Series:
+            return text.map(turn_pairs_py)
+        _PAIRS_UDF_CACHE["pairs"] = _udf
+    return _PAIRS_UDF_CACHE["pairs"]
+
+
+def _let(bound: Column, body) -> Column:
+    """Evaluate ``bound`` ONCE per row and pass it to ``body`` as a
+    higher-order-function lambda variable (a `let` binding via
+    transform-over-singleton-array).
+
+    Why this exists: CollapseProject merges ``withColumn`` chains, so a
+    column REFERENCE inside a HOF lambda is inlined as the full upstream
+    expression and re-evaluated interpreted at every reference — the
+    original pair generator referenced ``ems`` six times per (i, j) cell,
+    re-running tokenize→POS→chunk→annotate O(n²·tokens) times per turn
+    (measured: single tasks pinned for 10+ minutes at 175k turns; the
+    same logic over materialized columns ran in ~1 s).  A lambda
+    variable, unlike a column reference, is bound once — this pins the
+    evaluation count structurally instead of hoping the optimizer keeps
+    a projection boundary."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
+def _terminal_positions(toks: str) -> Column:
+    """1-based positions of sentence terminals, computed ONCE per turn.
+    A chunk starting at 0-based ``start`` is in sentence
+    ``size(filter(term_pos, p -> p <= start))`` — identical to counting
+    terminals in the first ``start`` tokens, but O(#sentences) per chunk
+    with no per-chunk array slice (the slice+filter formulation ran
+    interpreted and allocated O(tokens) per chunk: the hot spot at
+    millions of turns)."""
+    return F.when(
+        F.size(toks) > 0,
+        F.filter(F.sequence(F.lit(1), F.size(toks)),
+                 lambda i: F.element_at(F.col(toks), i).isin(*TERMINALS))
+    ).otherwise(F.array().cast("array<int>"))
 
 
 def _alias_map(spark: SparkSession) -> Column:
@@ -56,50 +140,19 @@ def _fact_map(spark: SparkSession) -> Column:
 def turn_local_triples(turns: DataFrame, alias_map: Column,
                        fact_map: Column) -> DataFrame:
     """(conv_id, turn_idx, text) → exploded (subj, pred, obj) — one narrow
-    map per turn, streaming-safe."""
-    toks = tokens_col("text")
-    t = turns.withColumn("toks", toks).withColumn(
-        "pos", pos_tags_col("toks"))
-    t = t.withColumn("chunks", np_chunks_col("toks", "pos"))
-    # annotate each chunk with its sentence id + linked entity
-    ann = F.transform(
-        "chunks",
-        lambda c: F.struct(
-            c["start"].alias("start"),
-            c["surface"].alias("surface"),
-            F.size(F.filter(F.slice(F.col("toks"), 1, c["start"]),
-                            lambda x: x.isin(*TERMINALS))).alias("sent_id"),
-            F.element_at(alias_map, c["surface"]).alias("entity_id"),
-        ))
-    t = t.withColumn("ems", F.filter(ann, lambda m: m["entity_id"].isNotNull()))
-
-    # ordered within-sentence pairs from the array (index-aware transform)
-    def pairs_of(ems: Column) -> Column:
-        n = F.size(ems)
-        idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
-        pair_lists = F.transform(idx, lambda i: F.transform(
-            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
-            lambda j: F.when(
-                (i < j)
-                & (F.element_at(ems, i + 1)["sent_id"]
-                   == F.element_at(ems, j + 1)["sent_id"])
-                & (F.element_at(ems, i + 1)["start"]
-                   < F.element_at(ems, j + 1)["start"]),
-                F.struct(F.element_at(ems, i + 1).alias("a"),
-                         F.element_at(ems, j + 1).alias("b")))))
-        return F.filter(F.flatten(pair_lists), lambda p: p.isNotNull())
-
-    t = t.withColumn("pairs", F.when(F.size("ems") >= 2, pairs_of(F.col("ems")))
-                     .otherwise(F.array().cast(
-                         "array<struct<a:struct<start:int,surface:string,"
-                         "sent_id:int,entity_id:string>,"
-                         "b:struct<start:int,surface:string,"
-                         "sent_id:int,entity_id:string>>>")))
-
+    map per turn, streaming-safe.  Pair generation is shared with the
+    join variant (:func:`turn_local_pairs`); the map literals only do the
+    per-pair KB lookups (pair-then-link — commutes with the old
+    link-then-pair because a triple needs both ends linked)."""
     carry = ["conv_id", "turn_idx"] + (["ts"] if "ts" in turns.columns else [])
-    p = t.select(*carry, F.explode("pairs").alias("p"))
-    fwd_key = F.concat_ws("|", F.col("p.a.entity_id"), F.col("p.b.entity_id"))
-    rev_key = F.concat_ws("|", F.col("p.b.entity_id"), F.col("p.a.entity_id"))
+    p = turn_local_pairs(turns)
+    p = p.withColumn("ent_a", F.element_at(alias_map,
+                                           F.col("p.a.surface"))) \
+         .withColumn("ent_b", F.element_at(alias_map,
+                                           F.col("p.b.surface"))) \
+         .where(F.col("ent_a").isNotNull() & F.col("ent_b").isNotNull())
+    fwd_key = F.concat_ws("|", F.col("ent_a"), F.col("ent_b"))
+    rev_key = F.concat_ws("|", F.col("ent_b"), F.col("ent_a"))
     p = p.withColumn("rels_fwd", F.element_at(fact_map, fwd_key)) \
          .withColumn("rels_rev", F.element_at(fact_map, rev_key))
     fwd = p.where(F.col("rels_fwd").isNotNull()).select(
@@ -115,45 +168,54 @@ def turn_local_triples(turns: DataFrame, alias_map: Column,
     return fwd.unionByName(rev)
 
 
-def turn_local_pairs(turns: DataFrame) -> DataFrame:
+def turn_local_pairs(turns: DataFrame, use_arrow: bool = True) -> DataFrame:
     """Chunk + within-sentence ordered pair generation over ALL NP chunks
     — no KB reference at all.  Linking COMMUTES with pairing (a triple
     needs both ends linked), so pair-then-join equals link-then-pair;
-    this is the stream side of the stream-static join variant."""
+    this is the stream side of the stream-static join variant.
+
+    Default path: the fused Arrow UDF (:func:`turn_pairs_udf`) — one
+    Arrow crossing per turn, same family as the batch pipeline's fused
+    chunk+featurize UDFs.  ``use_arrow=False`` keeps the pure-JVM
+    higher-order-function formulation: semantically identical
+    (agreement-tested), but HOFs evaluate interpreted and its nested
+    lambdas made it ~30× slower even after `_let` discipline — it exists
+    as the equivalence oracle, not the hot path."""
+    carry = ["conv_id", "turn_idx"] + (["ts"] if "ts" in turns.columns else [])
+    if use_arrow:
+        t = turns.withColumn("pairs", turn_pairs_udf()(F.col("text")))
+        return t.select(*carry, F.explode("pairs").alias("p"))
+
     t = turns.withColumn("toks", tokens_col("text")) \
         .withColumn("pos", pos_tags_col("toks")) \
         .withColumn("chunks", np_chunks_col("toks", "pos"))
-    ann = F.transform(
-        "chunks",
-        lambda c: F.struct(
-            c["start"].alias("start"),
-            c["surface"].alias("surface"),
-            F.size(F.filter(F.slice(F.col("toks"), 1, c["start"]),
-                            lambda x: x.isin(*TERMINALS))).alias("sent_id"),
-        ))
-    t = t.withColumn("ems", ann)
+
+    # every expensive intermediate bound as a lambda variable (`_let`),
+    # evaluated once per turn regardless of CollapseProject inlining
+    def ann_of(tp: Column) -> Column:
+        return F.transform(
+            "chunks",
+            lambda c: F.struct(
+                c["start"].alias("start"),
+                c["surface"].alias("surface"),
+                F.size(F.filter(tp, lambda p: p <= c["start"]))
+                 .alias("sent_id"),
+            ))
 
     def pairs_of(ems: Column) -> Column:
-        n = F.size(ems)
-        idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
-        pair_lists = F.transform(idx, lambda i: F.transform(
-            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
-            lambda j: F.when(
-                (i < j)
-                & (F.element_at(ems, i + 1)["sent_id"]
-                   == F.element_at(ems, j + 1)["sent_id"])
-                & (F.element_at(ems, i + 1)["start"]
-                   < F.element_at(ems, j + 1)["start"]),
-                F.struct(F.element_at(ems, i + 1).alias("a"),
-                         F.element_at(ems, j + 1).alias("b")))))
-        return F.filter(F.flatten(pair_lists), lambda p: p.isNotNull())
+        return F.filter(
+            F.flatten(F.transform(ems, lambda a, i: F.transform(
+                ems, lambda b, j: F.when(
+                    (i < j)
+                    & (a["sent_id"] == b["sent_id"])
+                    & (a["start"] < b["start"]),
+                    F.struct(a.alias("a"), b.alias("b")))))),
+            lambda p: p.isNotNull())
 
-    empty_t = ("array<struct<a:struct<start:int,surface:string,sent_id:int>,"
-               "b:struct<start:int,surface:string,sent_id:int>>>")
-    t = t.withColumn("pairs",
-                     F.when(F.size("ems") >= 2, pairs_of(F.col("ems")))
-                     .otherwise(F.array().cast(empty_t)))
-    carry = ["conv_id", "turn_idx"] + (["ts"] if "ts" in turns.columns else [])
+    t = t.withColumn(
+        "pairs",
+        _let(_terminal_positions("toks"),
+             lambda tp: _let(ann_of(tp), pairs_of)))
     return t.select(*carry, F.explode("pairs").alias("p"))
 
 
