@@ -2,9 +2,10 @@
 
 Design constraint: Structured Streaming append mode forbids the batch
 pipeline's per-sentence self-join (stream-stream).  The extraction is
-therefore re-expressed **turn-locally**: tokenize → chunk → within-array
-pair generation (array higher-order functions, narrow) → KB lookup.  The
-KB lookup has two interchangeable implementations:
+therefore re-expressed **turn-locally**: a fused tokenize → POS → chunk
+→ within-sentence pair Arrow UDF (one crossing per turn; a pure-JVM
+higher-order-function twin is kept as the agreement oracle) → KB lookup.
+The KB lookup has two interchangeable implementations:
 
  - ``turn_local_triples_join`` (default): stream-static broadcast joins
    against the alias/fact DataFrames — legal in append mode, zero state,
