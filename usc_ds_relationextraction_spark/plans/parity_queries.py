@@ -413,7 +413,14 @@ def a3_cooccur_real(spark: SparkSession, sf: str) -> DataFrame:
 def j5_triple_assembly(spark: SparkSession, sf: str) -> DataFrame:
     """J5: derive EM keys from the RM composite key and resolve both ends
     against the EM dimension (pruning_heuristics.py:109-122) — two
-    broadcast joins on derived string keys."""
+    equi-joins on derived string keys.
+
+    Scale note: the EM dimension is MENTION-scale (grows with the corpus),
+    so it must never be broadcast — at 10^12 turns that would OOM every
+    executor.  The derived span keys are dense and skew-free, so plain
+    shuffle equi-joins + AQE are the right physical plan; Catalyst/AQE may
+    still pick broadcast on its own when runtime stats show the side is
+    tiny (the sf0.01 case) — that is its call, not a hint."""
     e = _entry()
     p = e._pairs_df(spark, sf)
     rm = p.select(
@@ -426,10 +433,8 @@ def j5_triple_assembly(spark: SparkSession, sf: str) -> DataFrame:
     ems = e._linked_df(spark, sf).select(
         F.concat_ws("_", "conv_id", "turn_idx", "sent_id", "start",
                     "end").alias("em_key")).distinct()
-    out = rm.join(F.broadcast(ems.withColumnRenamed("em_key", "em1_key")),
-                  on="em1_key") \
-        .join(F.broadcast(ems.withColumnRenamed("em_key", "em2_key")),
-              on="em2_key")
+    out = rm.join(ems.withColumnRenamed("em_key", "em1_key"), on="em1_key") \
+        .join(ems.withColumnRenamed("em_key", "em2_key"), on="em2_key")
     return out.select("rm_key", "em1_key", "em2_key")
 
 
