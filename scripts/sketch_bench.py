@@ -1,0 +1,101 @@
+"""Arrow vs interpreted-HOF sketch bank bench at ≥1M rows.
+
+Synthesizes deterministic documents (hash-derived tokens) and embeddings
+(hash-derived float components) to parquet under /tmp, then times:
+  - simhash        (Arrow bank)   vs simhash_hof        (interpreted)
+  - lsh_buckets    (Arrow bank)   vs lsh_buckets_hof    (interpreted)
+The HOF forms run at a capped size (they are the known pathology; at 1M
+rows the 16-pass simhash would run for tens of minutes) and rates are
+compared per-row.  Appends one JSON line per (op, impl, rows) to
+BENCH_SKETCH.jsonl.
+
+Usage: python scripts/sketch_bench.py [n_rows] [hof_cap]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from usc_ds_relationextraction_spark.operators import (dedup,  # noqa: E402
+                                                       similarity)
+from usc_ds_relationextraction_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "BENCH_SKETCH.jsonl")
+DIM = 64
+
+
+def synth(spark, n_rows: int, base: str):
+    """Deterministic 1M-scale documents + embeddings parquet under /tmp."""
+    docs_path = f"{base}/docs_{n_rows}.parquet"
+    emb_path = f"{base}/emb_{n_rows}.parquet"
+    if not os.path.exists(docs_path):
+        # ~24-token docs from a 1k-word hash vocab; zipf-ish via pmod
+        ids = spark.range(n_rows).select(F.col("id").alias("doc_id"))
+        tok = ("concat('w', pmod(cast(conv(substring(md5(concat(doc_id, "
+               "'_', i)), 1, 15), 16, 10) as bigint), 1000))")
+        docs = ids.select(
+            "doc_id",
+            F.expr(f"array_join(transform(sequence(1, 24), i -> {tok}), ' ')"
+                   ).alias("text"))
+        docs.write.mode("overwrite").parquet(docs_path)
+    if not os.path.exists(emb_path):
+        ids = spark.range(n_rows).select(F.col("id").alias("vec_id"))
+        comp = ("cast(pmod(cast(conv(substring(md5(concat(vec_id, '|', i)), "
+                "1, 15), 16, 10) as bigint), 2001) - 1000 as float) / 1000.0")
+        emb = ids.select(
+            "vec_id",
+            F.expr(f"transform(sequence(1, {DIM}), i -> cast({comp} as "
+                   "float))").alias("embedding"))
+        emb.write.mode("overwrite").parquet(emb_path)
+    return docs_path, emb_path
+
+
+def timed(label: str, df, rows: int, results: list):
+    t0 = time.time()
+    df.agg(F.count("*"), F.sum(df.columns[-1])).collect()
+    dt = time.time() - t0
+    rate = rows / dt
+    row = {"op": label, "rows": rows, "sec": round(dt, 2),
+           "rows_per_sec": int(rate)}
+    results.append(row)
+    print(json.dumps(row), flush=True)
+
+
+def main():
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    hof_cap = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    spark = get_spark(app_name="sketch_bench", master="local[32]",
+                      shuffle_partitions=32)
+    docs_path, emb_path = synth(spark, n_rows, "/tmp/sketch_bench")
+    docs = spark.read.parquet(docs_path)
+    emb = spark.read.parquet(emb_path)
+    docs_cap = docs.where(F.col("doc_id") < hof_cap)
+    emb_cap = emb.where(F.col("vec_id") < hof_cap)
+
+    results: list[dict] = []
+    # warm the Python workers once so the first timed row isn't startup
+    dedup.simhash(docs_cap.limit(100)).agg(F.sum("simhash")).collect()
+
+    timed("simhash_arrow", dedup.simhash(docs), n_rows, results)
+    timed("simhash_hof", dedup.simhash_hof(docs_cap), hof_cap, results)
+    timed("lsh16_arrow", similarity.lsh_buckets(emb, DIM, 16), n_rows,
+          results)
+    timed("lsh16_hof", similarity.lsh_buckets_hof(emb_cap, DIM, 16),
+          hof_cap, results)
+
+    with open(OUT, "a") as f:
+        f.write(json.dumps({"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                            "n_rows": n_rows, "hof_cap": hof_cap,
+                            "results": results}) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Arrow sketch banks ≡ their interpreted-HOF agreement oracles.
+
+The Arrow forms (functions/sketches.py) are the hot path; the HOF forms
+are retained purely so this agreement can be asserted — two independent
+derivations of the same exact-integer sketch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usc_ds_relationextraction_spark.operators import dedup, similarity
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_simhash_arrow_matches_hof(spark, docs):
+    a = dedup.simhash(docs, bits=16)
+    b = dedup.simhash_hof(docs, bits=16)
+    assert _rows(a) == _rows(b)
+
+
+def test_simhash_edge_cases(spark):
+    rows = [(1, "a a a b"),        # multiset votes
+            (2, ""),               # empty → 0
+            (3, None),             # null → 0
+            (4, "   "),            # whitespace only → 0
+            (5, "unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: r.simhash for r in dedup.simhash(df, bits=16).collect()}
+    b = {r.doc_id: r.simhash
+         for r in dedup.simhash_hof(df, bits=16).collect()}
+    # HOF form yields NULL for null text (aggregate over null array);
+    # Arrow form normalizes to 0 — both mean "no tokens".  Compare with
+    # the same normalization.
+    b = {k: (v or 0) for k, v in b.items()}
+    assert a == b
+    assert a[2] == a[3] == a[4] == 0
+
+
+def test_lsh_buckets_arrow_matches_hof(spark, emb):
+    a = similarity.lsh_buckets(emb, dim=64, planes=6)
+    b = similarity.lsh_buckets_hof(emb, dim=64, planes=6)
+    assert _rows(a) == _rows(b)
+
+
+def test_lsh_buckets_many_planes(spark, emb):
+    """16-plane bank (the scale configuration) still agrees."""
+    a = similarity.lsh_buckets(emb, dim=64, planes=16)
+    b = similarity.lsh_buckets_hof(emb, dim=64, planes=16)
+    assert _rows(a) == _rows(b)
+
+
+def test_arrow_plan_has_no_row_python(spark, docs, emb):
+    """The hot path is ArrowEvalPython (vectorized), never BatchEvalPython
+    (row-at-a-time)."""
+    for df in (dedup.simhash(docs), similarity.lsh_buckets(emb, 64, 6)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" in plan
+
+
+def test_int_dot_arrow_matches_hof(spark, emb):
+    from usc_ds_relationextraction_spark.functions.sketches import (
+        int_dot_arrow)
+    base = emb.select("vec_id", similarity.quantized("embedding").alias("q"))
+    a = base.select(
+        "vec_id", int_dot_arrow(F.col("q"), F.col("q")).alias("d"))
+    b = base.select(
+        "vec_id", similarity.int_dot(F.col("q"), F.col("q")).alias("d"))
+    assert _rows(a) == _rows(b)

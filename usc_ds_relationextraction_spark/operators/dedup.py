@@ -105,7 +105,22 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
 def simhash(docs: DataFrame, text_col: str = "text",
             bits: int = 16) -> DataFrame:
     """Bit-majority SimHash over whitespace tokens (multiset semantics —
-    repeated tokens vote repeatedly, like the classic Charikar sketch)."""
+    repeated tokens vote repeatedly, like the classic Charikar sketch).
+
+    Hot path: one Arrow crossing per batch, the whole bit bank as a
+    NumPy bit-parallel vote (:mod:`..functions.sketches`).  The HOF twin
+    below (:func:`simhash_hof`) is the agreement oracle — it pays
+    ``bits`` interpreted `F.aggregate` passes per row, which is the
+    known interpreted-HOF pathology at scale."""
+    from ..functions.sketches import simhash_arrow
+    return docs.select(
+        "doc_id", simhash_arrow(text_col, bits).alias("simhash"))
+
+
+def simhash_hof(docs: DataFrame, text_col: str = "text",
+                bits: int = 16) -> DataFrame:
+    """Pure-JVM-expression SimHash (interpreted HOFs) — value-identical
+    agreement oracle for :func:`simhash`; do not use on hot paths."""
     toks = tokens_of(text_col)
 
     def vote_for(mask: int) -> Column:

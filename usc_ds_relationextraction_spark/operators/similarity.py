@@ -58,7 +58,24 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
 
 def lsh_buckets(emb: DataFrame, dim: int, planes: int = 8,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, bucket) — sign pattern over `planes` integer hyperplanes."""
+    """(vec_id, bucket) — sign pattern over `planes` integer hyperplanes.
+
+    Hot path: one Arrow crossing, the whole plane bank as one exact-int64
+    NumPy matmul (:mod:`..functions.sketches`).  The HOF twin below
+    (:func:`lsh_buckets_hof`) is the agreement oracle — it re-inlines the
+    quantize transform per plane and runs interpreted (measured 13.5 s vs
+    1.5 s DuckDB on 500 rows)."""
+    from ..functions.sketches import lsh_bucket_arrow
+    hps = [hyperplane(p, dim) for p in range(planes)]
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      lsh_bucket_arrow(vec_col, hps).alias("bucket"))
+
+
+def lsh_buckets_hof(emb: DataFrame, dim: int, planes: int = 8,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Pure-JVM-expression twin of :func:`lsh_buckets` (interpreted HOFs)
+    — value-identical agreement oracle; do not use on hot paths."""
     q = quantized(vec_col)
     bucket = None
     for p in range(planes):
