@@ -471,6 +471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q.update(gate_queries.queries())
     Q.update(training_doubles.queries())
     Q.update(kg_materialize.queries())
+    from usc_ds_relationextraction_spark.plans import gate_round4
+    Q.update(gate_round4.queries())
     return _curated(Q)
 
 
@@ -494,9 +496,23 @@ _DEPRIORITIZED = [
 ]
 
 
+# Names guaranteed a slot in the driver's 50-query snapshot: this round's
+# new gate entries plus the training-epoch and kg_* families.
+_LEAD = [
+    "m4_objective_mix", "m5_lr_schedule", "m6_rm_bcd_epoch",
+    "s7_embedding_roundtrip", "s8_prediction_roundtrip",
+    "m1_sgns_epoch", "m2_ple_epoch", "m3_transe_epoch",
+    "kg_entity_nodes", "kg_canonical_edges", "kg_entity_resolution",
+    "kg_collapsed_edges",
+]
+
+
 def _curated(Q: dict) -> dict:
+    lead = {n: Q[n] for n in _LEAD if n in Q}
     tail = {n: Q[n] for n in _DEPRIORITIZED if n in Q}
-    out = {n: f for n, f in Q.items() if n not in tail}
+    out = dict(lead)
+    out.update({n: f for n, f in Q.items()
+                if n not in lead and n not in tail})
     out.update(tail)
     return out
 
@@ -745,4 +761,6 @@ FROM (
     O.update(gate_queries.oracles())
     O.update(training_doubles.oracles())
     O.update(kg_materialize.oracles())
+    from usc_ds_relationextraction_spark.plans import gate_round4
+    O.update(gate_round4.oracles())
     return O

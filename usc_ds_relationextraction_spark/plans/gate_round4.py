@@ -1,0 +1,265 @@
+"""Driver-gate (oracle-checked) entries for the last pytest-only
+operators: M4 objective mixer, M5 lr/checkpoint schedule, M6 composite
+RM-BCD epoch, S7 embedding writer round-trip, S8 prediction writer
+round-trip.
+
+Each query exercises the REAL production code path (the schedule
+functions both trainers call, the m1/m2 epoch kernels, the Warehouse
+writer, the inference normalize/cut operators) and emits integer-
+quantized values so the DuckDB twin hashes exactly.
+
+Reference citations: objective mixing retype.cpp:134-172,183-186
+(alias-sampled weights {1, 1, transWeight}); lr decay retype.cpp:241;
+RM BCD hplelib.cpp:148-173,520-632; embedding dump hplelib.cpp:122-146;
+prediction dump emb_prediction.py:141-147.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.hashing import h64, h64_duckdb
+from ..functions.sampling import AliasTable
+from .training import init_embeddings, is_checkpoint_epoch, lr_schedule
+
+M4_ITERS = 10_000
+M4_TRANS_WEIGHT = 2.0
+M4_NAMES = ("cotype_em", "cotype_rm", "transe")
+M5_LR0 = 0.02
+M5_EPOCHS = 50
+M5_CKPT_EVERY = 10
+S7_DIM = 4
+S8_THRESHOLD = 0.25
+U60 = float(1 << 60)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _wh(spark: SparkSession, sf: str, tag: str):
+    from ..sources.catalog import Warehouse
+    base = os.path.basename(os.path.normpath(sf))
+    return Warehouse(spark, f"/tmp/{tag}_{base}")
+
+
+# ================================================================== M4
+def m4_objective_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """M4: the deterministic objective interleave — one Walker–Vose draw
+    per iteration over weights {1, 1, transWeight} (the REAL
+    ``training.objective_interleave`` schedule, distributed as a pandas
+    UDF over the iteration range), rolled up per objective."""
+    tbl = AliasTable(np.array([1.0, 1.0, M4_TRANS_WEIGHT]))
+    names = np.array(M4_NAMES)
+
+    @pandas_udf("string")
+    def draw(it: pd.Series) -> pd.Series:
+        idx = tbl.draw_hashed([str(int(i)) for i in it], "m4")
+        return pd.Series(names[idx])
+
+    df = spark.range(M4_ITERS).select(F.col("id").alias("iter"),
+                                      draw("id").alias("objective"))
+    return df.groupBy("objective").agg(
+        F.count("*").alias("n_draws"),
+        F.min("iter").alias("first_iter"),
+        F.max("iter").alias("last_iter"))
+
+
+def _m4_sql() -> str:
+    tbl = AliasTable(np.array([1.0, 1.0, M4_TRANS_WEIGHT]))
+    n = tbl.n
+    vals = ", ".join(
+        f"({i}, {tbl.prob[i]!r}, {int(tbl.alias[i])}, '{M4_NAMES[i]}')"
+        for i in range(n))
+    u1 = (f"(({h64_duckdb('CAST(i AS VARCHAR) || chr(31) || ' + repr('m4|u1'))}) "
+          f"/ {U60!r})")
+    u2 = (f"(({h64_duckdb('CAST(i AS VARCHAR) || chr(31) || ' + repr('m4|u2'))}) "
+          f"/ {U60!r})")
+    return f"""
+WITH alias_tbl(ai, prob, alias_i, objective) AS (VALUES {vals}),
+iters AS (SELECT i FROM generate_series(0, {M4_ITERS - 1}) AS g(i)),
+draws AS (
+  SELECT i,
+         LEAST(CAST(floor({u1} * {n}) AS BIGINT), {n - 1}) AS col_i,
+         {u2} AS u2
+  FROM iters
+),
+picked AS (
+  SELECT d.i,
+         CASE WHEN d.u2 >= t.prob THEN a.objective
+              ELSE t.objective END AS objective
+  FROM draws d
+  JOIN alias_tbl t ON t.ai = d.col_i
+  JOIN alias_tbl a ON a.ai = t.alias_i
+)
+SELECT objective, CAST(COUNT(*) AS BIGINT) AS n_draws,
+       CAST(MIN(i) AS BIGINT) AS first_iter,
+       CAST(MAX(i) AS BIGINT) AS last_iter
+FROM picked GROUP BY objective
+"""
+
+
+# ================================================================== M5
+def m5_lr_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """M5: the epoch scheduler as a generated table — per-epoch lr from
+    the REAL ``training.lr_schedule`` (both trainers call it) and the
+    checkpoint cadence from ``training.is_checkpoint_epoch``, quantized
+    to integer nano-units."""
+    @pandas_udf("bigint")
+    def lr_nano(ep: pd.Series) -> pd.Series:
+        return pd.Series([
+            int(math.floor(lr_schedule(M5_LR0, int(e), M5_EPOCHS)
+                           * 1000000000.0 + 0.5)) for e in ep])
+
+    @pandas_udf("int")
+    def ckpt(ep: pd.Series) -> pd.Series:
+        return pd.Series([
+            int(is_checkpoint_epoch(int(e), M5_EPOCHS, M5_CKPT_EVERY))
+            for e in ep], dtype="int32")
+
+    return spark.range(M5_EPOCHS).select(
+        F.col("id").cast("int").alias("epoch"),
+        lr_nano("id").alias("lr_nano"),
+        ckpt("id").alias("is_ckpt"))
+
+
+def _m5_sql() -> str:
+    return f"""
+SELECT CAST(i AS INT) AS epoch,
+       CAST(floor(greatest({M5_LR0!r} * (1.0 - (CAST(i AS DOUBLE)
+                                                / {float(M5_EPOCHS)!r})),
+                           {M5_LR0!r} * 1e-4)
+                  * 1000000000.0 + 0.5) AS BIGINT) AS lr_nano,
+       CAST(CASE WHEN (i + 1) % {M5_CKPT_EVERY} = 0
+                   OR i = {M5_EPOCHS - 1} THEN 1 ELSE 0 END AS INT)
+         AS is_ckpt
+FROM generate_series(0, {M5_EPOCHS - 1}) AS g(i)
+"""
+
+
+# ================================================================== M6
+def m6_rm_bcd_epoch(spark: SparkSession, sf: str) -> DataFrame:
+    """M6: one composite CoType-RM BCD epoch — the SGNS and PLE per-draw
+    gradient rows of the already-gated m1/m2 doubles merged through the
+    REAL BCD accumulate semantics (``_agg_grads``: per-node elementwise
+    sum + draw count) in a single pass."""
+    from .training_doubles import m1_sgns_epoch, m2_ple_epoch
+    u = m1_sgns_epoch(spark, sf).unionByName(m2_ple_epoch(spark, sf))
+    sums = [F.sum(f"g{i}").alias(f"sg{i}") for i in range(S7_DIM)]
+    return u.groupBy("node_set", "node_id").agg(
+        F.count("*").alias("n_rows"), *sums,
+        F.sum("cnt_milli").alias("cnt_milli_sum"))
+
+
+def _m6_sql(e) -> str:
+    from .training_doubles import _m1_sql, _m2_sql
+    sg = ", ".join(f"CAST(SUM(g{i}) AS BIGINT) AS sg{i}"
+                   for i in range(S7_DIM))
+    return f"""
+SELECT node_set, node_id, CAST(COUNT(*) AS BIGINT) AS n_rows, {sg},
+       CAST(SUM(cnt_milli) AS BIGINT) AS cnt_milli_sum
+FROM (
+  SELECT * FROM ({_m1_sql()})
+  UNION ALL BY NAME
+  SELECT * FROM ({_m2_sql(e)})
+) u
+GROUP BY node_set, node_id
+"""
+
+
+# ================================================================== S7
+def s7_embedding_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S7: embedding writer/reader round-trip — the REAL deterministic
+    init (``training.init_embeddings``) written through the REAL
+    ``Warehouse.write`` (lineage metrics row included) and read back;
+    output is the read-back table quantized ×10^6.  The oracle
+    recomputes the init formula directly, so hash agreement proves the
+    write→read cycle is the identity."""
+    ids = _t(spark, sf, "part").select(
+        F.col("p_partkey").cast("long").alias("node_id"))
+    emb = init_embeddings(ids, "node_id", dim=S7_DIM, salt="s7")
+    wh = _wh(spark, sf, "s7_roundtrip")
+    back = wh.write("s7_embeddings", emb)
+    cols = [F.floor(F.col("vec")[i].cast("double") * 1000000.0 + 0.5)
+            .cast("bigint").alias(f"q{i}") for i in range(S7_DIM)]
+    return back.select("id", *cols)
+
+
+def _s7_sql() -> str:
+    comps = []
+    for i in range(S7_DIM):
+        h = h64_duckdb(f"CAST(p_partkey AS VARCHAR) || '|{i}|s7'")
+        r = f"CAST((({h} % 1000003) / 1000003.0 - 0.5) / {S7_DIM} AS REAL)"
+        comps.append(f"CAST(floor(CAST({r} AS DOUBLE) * 1000000.0 + 0.5) "
+                     f"AS BIGINT) AS q{i}")
+    return f"""
+SELECT CAST(p_partkey AS BIGINT) AS id, {', '.join(comps)}
+FROM part
+"""
+
+
+# ================================================================== S8
+def s8_prediction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S8: prediction writer round-trip — deterministic scores through
+    the REAL ``inference.min_max_normalize`` (P11, reference
+    zero-initialized min/max) + ``threshold_cut`` (P12), written via
+    ``Warehouse.write`` and read back, quantized ×10^6."""
+    from ..functions.hashing import u01
+    from .inference import min_max_normalize, threshold_cut
+    e = _t(spark, sf, "events").select(
+        "event_id", u01("event_id", "s8").alias("score"))
+    cut = threshold_cut(min_max_normalize(e, "score"), S8_THRESHOLD)
+    wh = _wh(spark, sf, "s8_roundtrip")
+    back = wh.write("s8_predictions",
+                    cut.select("event_id", "score_norm"))
+    return back.select(
+        "event_id",
+        F.floor(F.col("score_norm") * 1000000.0 + 0.5).cast("bigint")
+        .alias("score_ppm"))
+
+
+def _s8_sql() -> str:
+    u = (f"(({h64_duckdb('CAST(event_id AS VARCHAR) || chr(31) || ' + repr('s8'))}) "
+         f"/ {U60!r})")
+    return f"""
+WITH scored AS (SELECT event_id, {u} AS score FROM events),
+mm AS (SELECT least(MIN(score), 0.0) AS mn,
+              greatest(MAX(score), 0.0) AS mx FROM scored),
+norm AS (
+  SELECT event_id, (score - mn) / (mx - mn + 1e-8) AS sn
+  FROM scored, mm
+)
+SELECT event_id,
+       CAST(floor(sn * 1000000.0 + 0.5) AS BIGINT) AS score_ppm
+FROM norm WHERE sn > {S8_THRESHOLD!r}
+"""
+
+
+# ------------------------------------------------------------- registry
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "m4_objective_mix": m4_objective_mix,
+        "m5_lr_schedule": m5_lr_schedule,
+        "m6_rm_bcd_epoch": m6_rm_bcd_epoch,
+        "s7_embedding_roundtrip": s7_embedding_roundtrip,
+        "s8_prediction_roundtrip": s8_prediction_roundtrip,
+    }
+
+
+def oracles() -> dict[str, str]:
+    import __spark_entry__ as e
+    return {
+        "m4_objective_mix": _m4_sql(),
+        "m5_lr_schedule": _m5_sql(),
+        "m6_rm_bcd_epoch": _m6_sql(e),
+        "s7_embedding_roundtrip": _s7_sql(),
+        "s8_prediction_roundtrip": _s8_sql(),
+    }

@@ -70,6 +70,39 @@ GRAD_SCHEMA = "node_set string, node_id long, grad array<double>, cnt double"
 SMALL_MATRIX_LIMIT = 20_000_000
 
 
+def lr_schedule(lr0: float, epoch: int, epochs: int) -> float:
+    """M5 per-epoch lr decay (retype.cpp:241): linear decay to a 1e-4
+    floor.  Single source of truth for both trainers AND the
+    ``m5_lr_schedule`` driver-gate oracle — every operation is one IEEE
+    op so the SQL twin reproduces it bit-exactly."""
+    return max(lr0 * (1.0 - epoch / float(epochs)), lr0 * 1e-4)
+
+
+def is_checkpoint_epoch(epoch: int, epochs: int, every: int) -> bool:
+    """M5 checkpoint cadence: every ``every`` epochs and at the end."""
+    return (epoch + 1) % every == 0 or epoch == epochs - 1
+
+
+def objective_interleave(n_iters: int, trans_weight: float = 1.0,
+                         salt: str = "m4") -> "pd.DataFrame":
+    """M4 objective mixer — the reference's joint epoch alias-samples
+    which objective each iteration optimizes with weights
+    {1, 1, transWeight} over {CoType-EM, CoType-RM, TransE}
+    (retype.cpp:134-172,183-186).  Our BCD epochs run every objective
+    every pass (transWeight folds into the gradient scale), so this
+    deterministic interleave is the REFERENCE-shaped schedule: the same
+    Walker–Vose table every other sampler uses, keyed on the iteration
+    index (resume/replay-stable).  Returns a pandas frame
+    (iter, objective)."""
+    from ..functions.sampling import AliasTable
+    tbl = AliasTable(np.array([1.0, 1.0, trans_weight]))
+    names = np.array(["cotype_em", "cotype_rm", "transe"])
+    keys = [str(i) for i in range(n_iters)]
+    idx = tbl.draw_hashed(keys, salt)
+    return pd.DataFrame({"iter": np.arange(n_iters, dtype=np.int64),
+                         "objective": names[idx]})
+
+
 def init_embeddings(nodes: DataFrame, id_col: str, dim: int = 50,
                     salt: str = "init") -> DataFrame:
     """Deterministic word2vec-style init: uniform(-0.5, 0.5)/dim per
@@ -541,8 +574,7 @@ class CoTypeRMTrainer:
         negatives, alpha = self.negatives, self.alpha
         for epoch in range(start_epoch, epochs):
             _t0 = _time.time()
-            lr = max(self.lr0 * (1.0 - epoch / float(epochs)),
-                     self.lr0 * 1e-4)
+            lr = lr_schedule(self.lr0, epoch, epochs)
             bcast = sc.broadcast({ns: space.snapshot()})
 
             m_named = emb_m.select(F.col("id").alias("u_id"),
@@ -750,8 +782,7 @@ class CoTypeJointTrainer(CoTypeRMTrainer):
 
         for epoch in range(start_epoch, epochs):
             _t0 = _time.time()
-            lr = max(self.lr0 * (1.0 - epoch / float(epochs)),
-                     self.lr0 * 1e-4)
+            lr = lr_schedule(self.lr0, epoch, epochs)
             bcast = sc.broadcast({n: s.snapshot()
                                   for n, s in spaces.items()})
             m_named = emb_m.select(F.col("id").alias("u_id"),
