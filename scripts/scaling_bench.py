@@ -279,9 +279,14 @@ def _executor_mode(n_turns: int) -> None:
     s_stop = threading.Event()
 
     def _s_sample() -> None:
-        while not s_stop.wait(5.0):
+        # sample IMMEDIATELY, then every 5 s: a phase shorter than the
+        # first wait would otherwise yield zero samples and a silently
+        # vacuous contention signal (round-3 advisor finding)
+        while True:
             with open("/proc/loadavg") as fh:
                 s_samples.append(float(fh.read().split()[0]))
+            if s_stop.wait(5.0):
+                return
 
     s_thread = threading.Thread(target=_s_sample, daemon=True)
     s_thread.start()
@@ -302,9 +307,11 @@ def _executor_mode(n_turns: int) -> None:
     stop = threading.Event()
 
     def _sample() -> None:
-        while not stop.wait(5.0):
+        while True:
             with open("/proc/loadavg") as fh:
                 samples.append(float(fh.read().split()[0]))
+            if stop.wait(5.0):
+                return
 
     sampler = threading.Thread(target=_sample, daemon=True)
     sampler.start()
@@ -344,6 +351,8 @@ def _executor_mode(n_turns: int) -> None:
         "loadavg_peak_during_tenants": round(load_peak, 2),
         "loadavg_budget": load_budget,
         "loadavg_peak_during_single": round(single_load_peak, 2),
+        "loadavg_samples_single": len(s_samples),
+        "loadavg_samples_tenants": len(samples),
         "single_load_budget": single_load_budget,
         "contended": contended,
         "authoritative": not contended,

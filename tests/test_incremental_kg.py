@@ -194,3 +194,56 @@ def test_batch_split_invariance_property(spark, tmp_path):
         assert got == want
 
     check()
+
+
+def test_fresh_checkpoint_restart_raises(spark, tmp_path):
+    """Round-3 advisor (medium): a stream restarting with a FRESH
+    checkpoint resets batch ids to 0; the replay guard must fail loudly
+    instead of silently dropping batches until ids catch up."""
+    import pytest
+    target = str(tmp_path / "edges")
+    sink = incremental_agg_sink(spark, target,
+                                ["subj", "pred", "obj"], ["n_support"])
+    sink(_rows(spark, [("a", "r", "b", 1)]), 0)
+    sink(_rows(spark, [("a", "r", "b", 1)]), 1)
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        sink(_rows(spark, [("x", "r", "y", 1)]), 0)
+
+
+def test_stream_identity_mismatch_raises(spark, tmp_path):
+    import pytest
+    target = str(tmp_path / "edges")
+    a = incremental_agg_sink(spark, target, ["subj", "pred", "obj"],
+                             ["n_support"], stream_id="ckpt-A")
+    a(_rows(spark, [("a", "r", "b", 1)]), 0)
+    b = incremental_agg_sink(spark, target, ["subj", "pred", "obj"],
+                             ["n_support"], stream_id="ckpt-B")
+    with pytest.raises(RuntimeError, match="belongs to stream"):
+        b(_rows(spark, [("x", "r", "y", 1)]), 0)
+
+
+def test_same_stream_batch0_replay_skips(spark, tmp_path):
+    """With a recorded identity, the genuine crash-replay of batch 0 by
+    the SAME stream stays a silent exactly-once skip."""
+    target = str(tmp_path / "edges")
+    sink = incremental_agg_sink(spark, target, ["subj", "pred", "obj"],
+                                ["n_support"], stream_id="ckpt-A")
+    sink(_rows(spark, [("a", "r", "b", 1)]), 0)
+    sink(_rows(spark, [("a", "r", "b", 1)]), 0)  # replay, not a restart
+    got = {(r.subj, r.pred, r.obj): r.n_support
+           for r in read_current_version(spark, target).collect()}
+    assert got == {("a", "r", "b"): 1}
+
+
+def test_keep_versions_gc(spark, tmp_path):
+    """keep_versions widens the reader/GC race window for long-lived
+    read_current_version consumers (round-3 advisor, low)."""
+    target = str(tmp_path / "edges")
+    sink = incremental_agg_sink(spark, target, ["subj", "pred", "obj"],
+                                ["n_support"], stream_id="c",
+                                keep_versions=3)
+    for b in range(4):
+        sink(_rows(spark, [("a", "r", "b", 1)]), b)
+    vdirs = sorted(d for d in os.listdir(target) if d.startswith("v")
+                   and d[1:].isdigit())
+    assert vdirs == ["v1", "v2", "v3"]

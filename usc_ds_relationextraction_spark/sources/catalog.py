@@ -214,7 +214,14 @@ def merge_additive_sql(target: str, source: str, key_cols: list[str],
 
 def read_current_version(spark: SparkSession, target: str) -> DataFrame | None:
     """Read the committed version of an :func:`incremental_agg_sink`
-    parquet target (None before the first commit)."""
+    parquet target (None before the first commit).
+
+    The result is a LAZY DataFrame pinned to the version directory the
+    pointer names right now; the sink's GC deletes directories older
+    than the newest ``keep_versions`` commits, so consume (or
+    checkpoint) the result before ``keep_versions`` further batches
+    land, or raise ``keep_versions`` on the sink for long-lived
+    readers."""
     ptr = os.path.join(target, "_CURRENT")
     if not os.path.exists(ptr):
         return None
@@ -227,16 +234,31 @@ def incremental_agg_sink(spark: SparkSession, target: str,
                          key_cols: list[str], sum_cols: list[str],
                          fmt: str = "parquet",
                          min_cols: list[str] | None = None,
-                         max_cols: list[str] | None = None):
+                         max_cols: list[str] | None = None,
+                         stream_id: str | None = None,
+                         keep_versions: int = 2):
     """``foreachBatch`` writer maintaining an ADDITIVE aggregate table
     incrementally — the streaming "graph materialize" path: at 10^12-turn
     scale the canonical edge table cannot be recomputed from scratch per
     micro-batch, so each batch folds its delta into the running table.
 
     fmt='iceberg': ``target`` is a catalog table;
-    :func:`merge_additive_sql` per batch (idempotency under micro-batch
-    replay comes from pairing it with a committed-batch ledger table —
-    Iceberg snapshots make that transactional; out of sandbox scope).
+    :func:`merge_additive_sql` per batch, guarded by a committed-batch
+    ledger table ``{target}_batch_ledger`` — a replayed batch id is
+    skipped before the (non-idempotent, additive) MERGE runs.  The one
+    remaining window is a crash BETWEEN the MERGE and the ledger append
+    (at-least-once for that single batch); closing it needs a
+    multi-table Iceberg transaction, documented out of sandbox scope.
+
+    Stream identity (replay-guard soundness): foreachBatch batch ids
+    are monotone only WITHIN one checkpoint.  A fresh checkpoint (or a
+    different query) restarting against an existing target resets ids
+    to 0, and the ``committed >= batch_id`` replay guard would silently
+    drop every batch until ids catch up.  Pass ``stream_id`` (the
+    checkpoint path is the natural identity): it is recorded next to
+    the data and a mismatching writer raises instead of corrupting.
+    Without a ``stream_id``, batch 0 arriving at an already-committed
+    target raises — the unidentifiable-restart case fails loudly.
 
     fmt='parquet' (the tested twin): versioned full rewrites with an
     atomic pointer commit.  Per batch: aggregate the batch to a delta,
@@ -259,15 +281,47 @@ def incremental_agg_sink(spark: SparkSession, target: str,
                 + [F.min(c).alias(c) for c in (min_cols or [])]
                 + [F.max(c).alias(c) for c in (max_cols or [])])
 
+    def _check_identity(recorded: str | None, committed: int,
+                        batch_id: int) -> None:
+        if stream_id is not None and recorded is not None \
+                and recorded != stream_id:
+            raise RuntimeError(
+                f"incremental_agg_sink: target {target!r} belongs to "
+                f"stream {recorded!r} but this writer is {stream_id!r} — "
+                f"its batch ids would silently skip/merge against the "
+                f"other stream's state.  Use a fresh target, or resume "
+                f"with the original checkpoint/stream_id.")
+        if stream_id is None and batch_id == 0 and committed >= 0:
+            raise RuntimeError(
+                f"incremental_agg_sink: batch 0 arrived at target "
+                f"{target!r} which is already committed to v{committed} "
+                f"and carries no stream identity — this is a restart "
+                f"with a fresh checkpoint; the replay guard would "
+                f"silently drop batches 0..{committed}.  Pass "
+                f"stream_id=<checkpoint path> (recorded on first "
+                f"commit) or point the query at a fresh target.")
+
     def write_batch(df: DataFrame, batch_id: int) -> None:
         import shutil
         delta = df.groupBy(*key_cols).agg(*_aggs())
         if fmt == "iceberg":
+            ledger = f"{target}_batch_ledger"
+            spark.sql(f"CREATE TABLE IF NOT EXISTS {ledger} "
+                      f"(batch_id BIGINT, stream_id STRING)")
+            head = spark.sql(
+                f"SELECT MAX(batch_id) AS m, MAX(stream_id) AS s "
+                f"FROM {ledger}").first()
+            committed = -1 if head["m"] is None else int(head["m"])
+            _check_identity(head["s"], committed, batch_id)
+            if committed >= batch_id:  # replay of a committed batch
+                return
             view = f"_merge_add_src_{batch_id}"
             delta.createOrReplaceTempView(view)
             spark.sql(merge_additive_sql(target, view, key_cols, sum_cols,
                                          min_cols, max_cols))
             spark.catalog.dropTempView(view)
+            sid = "NULL" if stream_id is None else repr(stream_id)
+            spark.sql(f"INSERT INTO {ledger} VALUES ({batch_id}, {sid})")
             return
         os.makedirs(target, exist_ok=True)
         ptr = os.path.join(target, "_CURRENT")
@@ -275,6 +329,17 @@ def incremental_agg_sink(spark: SparkSession, target: str,
         if os.path.exists(ptr):
             with open(ptr) as f:
                 committed = int(f.read().strip().lstrip("v"))
+        sid_path = os.path.join(target, "_STREAM")
+        recorded = None
+        if os.path.exists(sid_path):
+            with open(sid_path) as f:
+                recorded = f.read().strip()
+        _check_identity(recorded, committed, batch_id)
+        if stream_id is not None and recorded is None:
+            tmp_sid = sid_path + f".tmp-{batch_id}"
+            with open(tmp_sid, "w") as f:
+                f.write(stream_id)
+            os.replace(tmp_sid, sid_path)
         if committed >= batch_id:  # crash-replay of a committed batch
             return
         merged = delta
@@ -287,9 +352,13 @@ def incremental_agg_sink(spark: SparkSession, target: str,
         with open(tmp, "w") as f:
             f.write(f"v{batch_id}")
         os.replace(tmp, ptr)  # the atomic commit point
-        for d in os.listdir(target):  # GC: keep committed + its parent
-            if d.startswith("v") and d[1:].isdigit() \
-                    and int(d[1:]) < committed:
-                shutil.rmtree(os.path.join(target, d), ignore_errors=True)
+        # GC: keep the newest keep_versions version dirs (the just-
+        # committed one included), delete older
+        vids = sorted((int(d[1:]) for d in os.listdir(target)
+                       if d.startswith("v") and d[1:].isdigit()),
+                      reverse=True)
+        for v in vids[keep_versions:]:
+            shutil.rmtree(os.path.join(target, f"v{v}"),
+                          ignore_errors=True)
 
     return write_batch

@@ -436,7 +436,8 @@ def stream_kg_edges(spark: SparkSession, source_dir: str,
         .select("subj", "pred", "obj", F.lit(1).alias("n_support"))
     sink = incremental_agg_sink(spark, target,
                                 key_cols=["subj", "pred", "obj"],
-                                sum_cols=["n_support"])
+                                sum_cols=["n_support"],
+                                stream_id=checkpoint_dir)
     return (evidence.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
@@ -474,7 +475,8 @@ def stream_kg_nodes(spark: SparkSession, source_dir: str,
                 F.col("surface").alias("first_surface"), "entity_type")
     sink = incremental_agg_sink(spark, target, key_cols=["entity_id"],
                                 sum_cols=["n_mentions"],
-                                min_cols=["first_surface", "entity_type"])
+                                min_cols=["first_surface", "entity_type"],
+                                stream_id=checkpoint_dir)
     return (evidence.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
