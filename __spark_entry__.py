@@ -503,7 +503,7 @@ _LEAD = [
     "s7_embedding_roundtrip", "s8_prediction_roundtrip",
     "m1_sgns_epoch", "m2_ple_epoch", "m3_transe_epoch",
     "kg_entity_nodes", "kg_canonical_edges", "kg_entity_resolution",
-    "kg_collapsed_edges",
+    "kg_collapsed_edges", "mm_decode_real",
 ]
 
 

@@ -1,0 +1,65 @@
+"""Real PNG/JPEG header parsing + decode fallback contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from usc_ds_relationextraction_spark.operators.multimodal import (
+    _decode_one, parse_jpeg_dims, parse_png_dims, tiny_jpeg_header,
+    tiny_png)
+
+
+def test_png_roundtrip_dims():
+    for w, h in [(1, 1), (17, 5), (255, 31), (300, 2)]:
+        assert parse_png_dims(tiny_png(w, h, seed=w)) == (w, h)
+
+
+def test_png_is_valid_zlib():
+    import struct
+    import zlib
+    p = tiny_png(7, 3, seed=1)
+    # IDAT payload decompresses to height*(1+width) filtered scanlines
+    idat_at = p.index(b"IDAT")
+    ln = struct.unpack(">I", p[idat_at - 4:idat_at])[0]
+    raw = zlib.decompress(p[idat_at + 4:idat_at + 4 + ln])
+    assert len(raw) == 3 * (1 + 7)
+
+
+def test_jpeg_header_dims():
+    for w, h in [(1, 1), (640, 480), (65535, 1)]:
+        assert parse_jpeg_dims(tiny_jpeg_header(w, h)) == (w, h)
+
+
+def test_jpeg_walks_past_non_frame_segments():
+    import struct
+    # insert a DHT (C4: no dims) and a comment before the SOF0
+    hdr = tiny_jpeg_header(99, 44)
+    soi, rest = hdr[:2], hdr[2:]
+    dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x01"
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    assert parse_jpeg_dims(soi + dht + com + rest) == (99, 44)
+
+
+def test_parsers_reject_non_media():
+    assert parse_png_dims(b"not a png at all, just text") is None
+    assert parse_jpeg_dims(b"plain text") is None
+    assert parse_png_dims(b"") is None
+    assert parse_jpeg_dims(b"\xff\xd8") is None  # SOI only
+
+
+def test_decode_one_real_beats_fallback():
+    png = tiny_png(12, 34, seed=9)
+    w, h, frames, _ = _decode_one(png, "image/png")
+    assert (w, h, frames) == (12, 34, 1)
+    jpg = tiny_jpeg_header(56, 78)
+    w, h, frames, _ = _decode_one(jpg, "image/jpeg")
+    assert (w, h, frames) == (56, 78, 1)
+
+
+def test_decode_one_fallback_and_contract():
+    # non-media payload labeled as image: deterministic hash fallback
+    w, h, frames, luma = _decode_one(b"just text", "image/png")
+    assert 64 <= w < 256 and 64 <= h < 256 and frames == 1
+    assert 0 <= luma <= 255
+    with pytest.raises(NotImplementedError):
+        _decode_one(b"x", "model/gltf")

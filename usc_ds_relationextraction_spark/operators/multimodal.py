@@ -44,21 +44,136 @@ def ingest_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.octet_length(F.col(text_col)).cast("int").alias("n_bytes"))
 
 
-def _decode_one(payload: bytes, media_type: str) -> tuple[int, int, int, int]:
-    """STUB decoder — deterministic fake features from payload bytes.
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG frame-header (SOFn) markers carrying dimensions: C0-CF minus the
+# non-frame C4 (DHT), C8 (JPG extension), CC (DAC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
 
-    Replace with PIL.Image.open / soundfile / av in a real deployment.
+
+def parse_png_dims(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from the IHDR chunk — pure-Python, no codec.
+
+    PNG layout is fixed: 8-byte signature, then the IHDR chunk whose
+    4-byte big-endian width/height sit at byte offsets 16 and 20."""
+    import struct
+    if len(payload) < 24 or not payload.startswith(PNG_SIG):
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", payload[16:24])
+    return (w, h)
+
+
+def parse_jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first SOFn marker — pure-Python segment
+    walk (SOI, then length-prefixed segments until a frame header)."""
+    import struct
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:          # fill byte
+            pos += 1
+            continue
+        if 0xD0 <= marker <= 0xD9:  # standalone RSTn/SOI/EOI: no length
+            pos += 2
+            continue
+        seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        if marker in _JPEG_SOF:
+            if pos + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
+            return (w, h)
+        pos += 2 + seg_len
+    return None
+
+
+def _decode_one(payload: bytes, media_type: str) -> tuple[int, int, int, int]:
+    """Decode real PNG/JPEG headers (pure-Python dimension extraction);
+    deterministic hash-derived fallback for payloads that are not real
+    media (the synthetic text-blob fixtures) — a real deployment swaps
+    the fallback for PIL/soundfile/av without touching any Spark code.
     Raises NotImplementedError for unknown media types (the documented
-    stub-contract).
-    """
-    if media_type not in ("image/png", "audio/wav", "video/mp4"):
+    contract)."""
+    if media_type not in ("image/png", "image/jpeg", "audio/wav",
+                          "video/mp4"):
         raise NotImplementedError(f"no decoder for {media_type}")
+    mean_luma = (sum(payload[:256]) // max(min(len(payload), 256), 1)) & 0xFF
+    if media_type == "image/png":
+        dims = parse_png_dims(payload)
+        if dims is not None:
+            return dims[0], dims[1], 1, mean_luma
+    elif media_type == "image/jpeg":
+        dims = parse_jpeg_dims(payload)
+        if dims is not None:
+            return dims[0], dims[1], 1, mean_luma
     h = hashlib.md5(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
-    n_frames = 1 if media_type == "image/png" else 1 + h[2] % 120
-    mean_luma = (sum(payload[:256]) // max(min(len(payload), 256), 1)) & 0xFF
+    n_frames = 1 if media_type in ("image/png", "image/jpeg") \
+        else 1 + h[2] % 120
     return width, height, n_frames, mean_luma
+
+
+def tiny_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A complete, valid 8-bit grayscale PNG built with the stdlib only
+    (zlib-compressed scanlines + CRC chunks) — real-image fixtures for
+    the decoder without any codec dependency."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((seed + x + y) % 256 for x in range(width))
+        for y in range(height))
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def tiny_jpeg_header(width: int, height: int) -> bytes:
+    """SOI + APP0(JFIF) + SOF0 prefix — enough of a real JPEG for header
+    parsing (fixtures exercise the segment walk, not entropy decoding)."""
+    import struct
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", height, width) + b"\x01\x01\x11\x00")
+    return b"\xff\xd8" + app0 + sof0
+
+
+def ensure_media_fixture(spark, sf_dir: str, n_rows: int = 200) -> str:
+    """Idempotent real-PNG media fixture next to the synthetic transcript
+    fixtures (its own marker; oracles read the same parquet)."""
+    import os
+
+    from ..functions.hashing import h64_py
+    from ..sources.synthetic import fixture_dir
+    out = os.path.abspath(fixture_dir(sf_dir))
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "media_png.parquet")
+    marker = os.path.join(out, "_DONE_media")
+    if os.path.exists(marker):
+        return path
+    rows = []
+    for i in range(n_rows):
+        w = 1 + h64_py(f"png|{i}|w") % 32
+        h = 1 + h64_py(f"png|{i}|h") % 32
+        p = tiny_png(w, h, seed=i)
+        rows.append((i, bytearray(p), "image/png", len(p)))
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return path
 
 
 def decode_features(media: DataFrame) -> DataFrame:

@@ -76,6 +76,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stub decoder is deterministic (md5-derived) → full SQL oracle below
     Q["mm_decode_features"] = lambda s, sf: multimodal.decode_features(
         multimodal.ingest_binary(_t(s, sf, "documents")))
+
+    def mm_decode_real(s, sf):
+        """Real-PNG decode: the pure-Python IHDR parser over a committed
+        fixture of genuine (zlib/CRC-valid) PNG blobs; the oracle derives
+        width/height INDEPENDENTLY from the binary's fixed byte offsets."""
+        path = multimodal.ensure_media_fixture(s, sf)
+        media = s.read.parquet(path)
+        return multimodal.decode_features(media).select(
+            "doc_id", "width", "height", "n_frames", "n_bytes")
+    Q["mm_decode_real"] = mm_decode_real
     return Q
 
 
@@ -492,5 +502,17 @@ SELECT doc_id, media_type, n_bytes,
              // GREATEST(LEAST(strlen(text), 256), 1)) & 255 AS INT)
          AS mean_luma
 FROM h
+"""
+    from ..sources.synthetic import fixture_dir
+    media_pq = os.path.join(fixture_dir("sf0.01"), "media_png.parquet")
+    # PNG is a fixed layout: IHDR width/height are big-endian uint32 at
+    # byte offsets 16/20 → hex-string slices (33,8) and (41,8)
+    O["mm_decode_real"] = f"""
+SELECT doc_id,
+       CAST(('0x' || substring(hex(media), 33, 8))::BIGINT AS INT) AS width,
+       CAST(('0x' || substring(hex(media), 41, 8))::BIGINT AS INT) AS height,
+       CAST(1 AS INT) AS n_frames,
+       n_bytes
+FROM read_parquet('{media_pq}/*.parquet')
 """
     return O
