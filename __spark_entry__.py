@@ -492,7 +492,8 @@ _DEPRIORITIZED = [
     "text_token_counts", "doc_fingerprint", "mm_binary_stats",
     "sim_cosine_topk", "dedup_exact", "dedup_ngram_jaccard",
     "a9_label_centroids", "p2_unicode_norm", "p6_lemma",
-    "a1_vocab_encode", "p7_vocab_gate_encode",
+    "a1_vocab_encode", "p7_vocab_gate_encode", "dedup_minhash",
+    "p3_span_alignment", "a5_cumulative_table", "j7_centroid_assign",
 ]
 
 
