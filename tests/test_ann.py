@@ -78,3 +78,63 @@ def test_ivf_nprobe_candidates_superset(spark):
     for (q, nn, dot) in s1:
         if dot > kth.get(q, float("inf")):
             assert (q, nn, dot) in s2
+
+
+def test_kmeans_codebook_and_recall_100k(spark):
+    """Learned-codebook properties at 100k vectors (the scale drive the
+    Arrow assign path never gets from unit fixtures): k cells survive,
+    every vector lands in exactly one cell, and nprobe recall against
+    exact brute force is monotone and material."""
+    import numpy as np
+
+    from usc_ds_relationextraction_spark.operators.similarity import (
+        _assign_cells_col, ivf_kmeans_codebook)
+
+    n, dim, cells = 100_000, 16, 64
+    comp = ("cast(pmod(cast(conv(substring(md5(concat(id, '|', i)), 1, 15),"
+            " 16, 10) as bigint), 2001) - 1000 as float) / 1000.0")
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(f"transform(sequence(1, {dim}), i -> cast({comp} as float))")
+        .alias("embedding")).cache()
+    cell_ids, C = ivf_kmeans_codebook(emb, dim, n_cells=cells, iters=2)
+    assert 2 <= len(cell_ids) <= cells
+    assert C.shape == (len(cell_ids), dim)
+
+    base = emb.select("vec_id", quantized("embedding").alias("q")) \
+        .withColumn("cell", _assign_cells_col("q", cell_ids, C)).cache()
+    # total membership == n and every cell id is from the codebook
+    sizes = {r.cell: r.n for r in
+             base.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert sum(sizes.values()) == n
+    assert set(sizes) <= set(int(c) for c in cell_ids)
+
+    # exact top-k for 5 queries via NumPy on the driver (ground truth)
+    qn = 5
+    pdf = base.select("vec_id", "q").toPandas().sort_values("vec_id")
+    M = np.array([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+    ids = pdf["vec_id"].to_numpy()
+    exact = {}
+    for qi in range(qn):
+        d = M @ M[qi]
+        d[qi] = np.iinfo(np.int64).min
+        # top-K by (dot desc, id asc) — matches the operators' tie rule
+        order = np.lexsort((ids, -d))[:K]
+        exact[qi] = set(int(ids[j]) for j in order)
+
+    from usc_ds_relationextraction_spark.operators.similarity import \
+        ann_topk_ivf_nprobe as np_ivf
+    g1 = _got(np_ivf(emb, dim, n_queries=qn, k=K, nprobe=1,
+                     n_cells=cells, iters=2))
+    g4 = _got(np_ivf(emb, dim, n_queries=qn, k=K, nprobe=4,
+                     n_cells=cells, iters=2))
+
+    def recall(got):
+        return sum(len(got.get(q, set()) & nn)
+                   for q, nn in exact.items()) / (qn * K)
+
+    r1, r4 = recall(g1), recall(g4)
+    assert r4 >= r1
+    assert r4 >= 0.4   # probing 4/64 cells must recover a material share
+    emb.unpersist()
+    base.unpersist()

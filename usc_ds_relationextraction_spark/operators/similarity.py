@@ -16,10 +16,13 @@ portable hash, so bucket assignment is again exact integer arithmetic.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-from ..functions.hashing import h64_py
+from ..functions.hashing import h64, h64_py
 
 
 def quantized(col: Column | str, scale: int = 1000) -> Column:
@@ -149,18 +152,96 @@ def embedding_near_dup_pairs(emb: DataFrame, dim: int, planes: int = 6,
         .cast("bigint").alias("cos_milli"))
 
 
+IVF_SALT = "ivfseed"
+IVF_CELLS = 8
+IVF_ITERS = 2
+
+
+def _assign_cells_col(col: Column | str, cell_ids, C, nprobe: int = 1
+                      ) -> Column:
+    """argmax-dot cell(s) against a driver-side codebook, one Arrow
+    matmul per batch.  Ties break to the smaller cell id (rows of C are
+    in ascending cell-id order, np.argmax/stable argsort take the first).
+    nprobe=1 → bigint cell; nprobe>1 → array<bigint> of the best cells
+    in dot-desc order."""
+    ids = np.asarray(cell_ids, dtype=np.int64).copy()
+    M = np.asarray(C, dtype=np.int64).copy()
+
+    if nprobe == 1:
+        @pandas_udf("bigint")
+        def f1(vs: pd.Series) -> pd.Series:
+            if not len(vs):
+                return pd.Series([], dtype="int64")
+            Q = np.array([np.asarray(v, dtype=np.int64) for v in vs])
+            return pd.Series(ids[np.argmax(Q @ M.T, axis=1)])
+        out = f1(col)
+    else:
+        @pandas_udf("array<bigint>")
+        def fn(vs: pd.Series) -> pd.Series:
+            if not len(vs):
+                return pd.Series([], dtype=object)
+            Q = np.array([np.asarray(v, dtype=np.int64) for v in vs])
+            order = np.argsort(-(Q @ M.T), axis=1, kind="stable")
+            return pd.Series(list(ids[order[:, :nprobe]]))
+        out = fn(col)
+    return out
+
+
+def ivf_kmeans_codebook(emb: DataFrame, dim: int, n_cells: int = IVF_CELLS,
+                        iters: int = IVF_ITERS, id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+    """Seeded distributed Lloyd's k-means over quantized vectors — the
+    learned IVF coarse codebook (replaces the label-centroid stand-in).
+
+    Deterministic + engine-portable:
+     - init: the ``n_cells`` rows with the smallest portable hash of
+       vec_id (a seeded pseudo-random sample, same on any partitioning);
+     - assignment: argmax exact-int64 dot, ties to the smaller cell id
+       (spherical-k-means flavor — dot is the metric IVF search uses);
+     - update: componentwise ``floor(sum·1000/n)`` — the exact integer
+       centroid formula the oracle reproduces; cells that lose all
+       members drop out (k may shrink).
+
+    Scale shape: per iteration ONE narrow Arrow matmul pass (broadcast
+    codebook, k×dim ints) + one groupBy(cell) with dim partial-agg sums;
+    only k centroid rows ever reach the driver.  Returns (cell_ids, C)
+    as driver NumPy arrays (k ≤ thousands by construction).
+    """
+    import math
+
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      quantized(vec_col).alias("q"))
+    seeds = base.withColumn(
+        "hs", h64(F.concat(F.col("vec_id").cast("string"),
+                               F.lit("|" + IVF_SALT)))) \
+        .orderBy("hs", "vec_id").limit(n_cells).collect()
+    C = np.array([r["q"] for r in seeds], dtype=np.int64)
+    cell_ids = np.arange(len(C), dtype=np.int64)
+    sums = [F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)]
+    for _ in range(iters):
+        a = base.withColumn("cell", _assign_cells_col("q", cell_ids, C))
+        g = sorted(a.groupBy("cell").agg(F.count("*").alias("n"),
+                                         *sums).collect(),
+                   key=lambda r: r["cell"])
+        cell_ids = np.array([r["cell"] for r in g], dtype=np.int64)
+        C = np.array(
+            [[math.floor(r[f"s{i}"] * 1000.0 / r["n"]) for i in range(dim)]
+             for r in g], dtype=np.int64)
+    return cell_ids, C
+
+
 def ann_topk_ivf(emb: DataFrame, dim: int, n_queries: int = 10, k: int = 5,
-                 vec_col: str = "embedding") -> DataFrame:
-    """IVF-flat ANN (nprobe=1): coarse codebook = per-label centroids (a
-    deterministic stand-in for k-means — same plan shape), each vector
-    assigned to its argmax-dot cell, a query probes ONLY its own cell.
-    At scale: the centroid table broadcasts, cell assignment is a narrow
-    map, and the per-cell candidate join replaces the full crossJoin —
-    the classic IVF recall/cost trade."""
-    assign = centroid_assign(emb, dim, vec_col) \
-        .select("vec_id", F.col("assigned_label").alias("cell"))
+                 vec_col: str = "embedding", n_cells: int = IVF_CELLS,
+                 iters: int = IVF_ITERS) -> DataFrame:
+    """IVF-flat ANN (nprobe=1): learned k-means coarse codebook, each
+    vector assigned to its argmax-dot cell, a query probes ONLY its own
+    cell.  At scale: the codebook broadcasts, cell assignment is a
+    narrow Arrow map, and the per-cell candidate join replaces the full
+    crossJoin — the classic IVF recall/cost trade."""
+    cell_ids, C = ivf_kmeans_codebook(emb, dim, n_cells, iters,
+                                      vec_col=vec_col)
     base = emb.select("vec_id", quantized(vec_col).alias("q")) \
-        .join(assign, on="vec_id")
+        .withColumn("cell", _assign_cells_col("q", cell_ids, C))
     qs = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), "cell")
     cand = qs.join(base.withColumnRenamed("vec_id", "nn_id"), on="cell") \
@@ -209,35 +290,30 @@ def centroid_assign(emb: DataFrame, dim: int,
 
 def ann_topk_ivf_nprobe(emb: DataFrame, dim: int, n_queries: int = 10,
                         k: int = 5, nprobe: int = 2,
-                        vec_col: str = "embedding") -> DataFrame:
-    """IVF-flat ANN with multi-cell probing (nprobe>1): base vectors
-    live in exactly ONE cell (argmax-dot assignment), queries probe
-    their ``nprobe`` nearest cells — the standard IVF recall lever
-    (recall is monotone in nprobe; cost grows by ~nprobe× candidates,
-    still nowhere near the full crossJoin).  Plan shape at scale is
-    unchanged from nprobe=1: broadcast centroid codebook, one narrow
-    rank over cells per vector, one per-cell candidate join; because
+                        vec_col: str = "embedding",
+                        n_cells: int = IVF_CELLS,
+                        iters: int = IVF_ITERS) -> DataFrame:
+    """IVF-flat ANN with multi-cell probing (nprobe>1) over the learned
+    k-means codebook: base vectors live in exactly ONE cell (argmax-dot
+    assignment = probe list head), queries probe their ``nprobe``
+    nearest cells — the standard IVF recall lever (recall is monotone in
+    nprobe; cost grows by ~nprobe× candidates, still nowhere near the
+    full crossJoin).  Plan shape at scale: broadcast codebook, one
+    narrow Arrow matmul per vector, one per-cell candidate join; because
     each base vector has a single home cell, (query, candidate) pairs
     are unique across probes — no dedup stage needed."""
-    q = quantized(vec_col)
-    e = emb.select("vec_id", "label", q.alias("q"))
-    aggs = [F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)]
-    g = e.groupBy("label").agg(F.count("*").alias("n"), *aggs)
-    cent = g.select(
-        F.col("label").alias("c_label"),
-        F.array(*[F.floor(F.col(f"s{i}") * 1000.0 / F.col("n"))
-                  .cast("bigint") for i in range(dim)]).alias("cvec"))
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "q", "c_label",
-        int_dot(F.col("q"), F.col("cvec")).alias("cdot"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.col("c_label"))
-    ranked = scored.withColumn("crk", F.row_number().over(w))
-    base = ranked.where("crk = 1").select(
-        "vec_id", "q", F.col("c_label").alias("cell"))
-    probes = ranked.where((F.col("crk") <= nprobe)
-                          & (F.col("vec_id") < n_queries)) \
-        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"),
-                F.col("c_label").alias("cell"))
+    cell_ids, C = ivf_kmeans_codebook(emb, dim, n_cells, iters,
+                                      vec_col=vec_col)
+    pc = _assign_cells_col("q", cell_ids, C, nprobe=nprobe)
+    if nprobe == 1:
+        pc = F.array(pc)  # scalar assign → singleton probe list
+    e = emb.select("vec_id", quantized(vec_col).alias("q")) \
+        .withColumn("probe_cells", pc)
+    base = e.select("vec_id", "q",
+                    F.col("probe_cells")[0].alias("cell"))
+    probes = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"),
+        F.explode("probe_cells").alias("cell"))
     cand = probes.join(base.withColumnRenamed("vec_id", "nn_id"), on="cell") \
         .where(F.col("query_id") != F.col("nn_id"))
     sc = cand.select("query_id", "nn_id",

@@ -381,29 +381,71 @@ SELECT vec_id, label, c_label AS assigned_label, qdot FROM (
 ) WHERE rk = 1
 """
 
-    O["ann_topk_ivf"] = f"""WITH base0 AS (
-  SELECT vec_id, label, {qexpr} AS q FROM embeddings
+
+    def _ivf_kmeans_cte() -> str:
+        """CTE chain base0 -> centF: the seeded-Lloyd's codebook twin of
+        similarity.ivf_kmeans_codebook (init = rows with the K smallest
+        portable hashes; per round argmax-dot assign with cell-asc ties,
+        floor-milli mean update; empty cells drop out)."""
+        k = similarity.IVF_CELLS
+        iters = similarity.IVF_ITERS
+        hs = _h_sql("CAST(vec_id AS VARCHAR) || '|ivfseed'")
+        sums = ", ".join(f"SUM(b.q[{i + 1}]) AS s{i}"
+                         for i in range(EMB_DIM))
+        cmean = "[" + ", ".join(
+            f"CAST(floor(s{i} * 1000.0 / n) AS BIGINT)"
+            for i in range(EMB_DIM)) + "]"
+
+        def dot(b, c):
+            return (f"CAST(list_sum(list_transform(generate_series(1, "
+                    f"{EMB_DIM}), i -> {b}.q[i] * {c}.cvec[i])) AS BIGINT)")
+
+        parts = [f"""base0 AS (
+  SELECT vec_id, {{qexpr}} AS q FROM embeddings
 ),
-g AS (SELECT label AS c_label, COUNT(*) AS n, {sums64}
-      FROM base0 GROUP BY label),
-cent AS (SELECT c_label, {clist} AS cvec FROM g),
-ascore AS (
-  SELECT b.vec_id, c.c_label,
-         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
-                                      i -> b.q[i] * c.cvec[i])) AS BIGINT)
-           AS qdot
-  FROM base0 b CROSS JOIN cent c
+seedh AS (SELECT vec_id, q, {hs} AS hs FROM base0),
+cent0 AS (
+  SELECT cell, q AS cvec FROM (
+    SELECT q, row_number() OVER (ORDER BY hs, vec_id) - 1 AS cell
+    FROM seedh
+  ) WHERE cell < {k}
+)"""]
+        for t in range(iters):
+            parts.append(f"""ascore{t} AS (
+  SELECT b.vec_id, c.cell, {dot('b', 'c')} AS cdot
+  FROM base0 b CROSS JOIN cent{t} c
 ),
-assign AS (
-  SELECT vec_id, c_label AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY qdot DESC, c_label) AS rk
-    FROM ascore
+assign{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cdot DESC, cell) AS rk
+    FROM ascore{t}
   ) WHERE rk = 1
 ),
+g{t} AS (
+  SELECT a.cell, COUNT(*) AS n, {sums}
+  FROM assign{t} a JOIN base0 b USING (vec_id)
+  GROUP BY a.cell
+),
+cent{t + 1} AS (SELECT cell, {cmean} AS cvec FROM g{t})""")
+        parts.append(f"""ascoreF AS (
+  SELECT b.vec_id, c.cell, {dot('b', 'c')} AS cdot
+  FROM base0 b CROSS JOIN cent{iters} c
+),
+rankedF AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cdot DESC, cell) AS crk
+  FROM ascoreF
+)""")
+        return ",\n".join(parts)
+
+    kmeans_cte = _ivf_kmeans_cte().replace("{qexpr}", qexpr)
+
+    O["ann_topk_ivf"] = f"""WITH {kmeans_cte},
 base AS (
-  SELECT b.vec_id, b.q, a.cell FROM base0 b
-  JOIN assign a ON b.vec_id = a.vec_id
+  SELECT b.vec_id, b.q, r.cell FROM base0 b
+  JOIN rankedF r ON b.vec_id = r.vec_id AND r.crk = 1
 ),
 qs AS (
   SELECT vec_id AS query_id, q AS qq, cell FROM base WHERE vec_id < 10
@@ -425,32 +467,14 @@ SELECT query_id, nn_id, qdot, CAST(rk AS INT) AS rk FROM (
     # nprobe=2 IVF: identical derivation, except QUERIES keep their two
     # best cells (crk <= 2) while base vectors stay in one home cell —
     # so (query, candidate) pairs are unique across probes by construction
-    O["ann_topk_ivf_nprobe"] = f"""WITH base0 AS (
-  SELECT vec_id, label, {qexpr} AS q FROM embeddings
-),
-g AS (SELECT label AS c_label, COUNT(*) AS n, {sums64}
-      FROM base0 GROUP BY label),
-cent AS (SELECT c_label, {clist} AS cvec FROM g),
-ascore AS (
-  SELECT b.vec_id, c.c_label,
-         CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
-                                      i -> b.q[i] * c.cvec[i])) AS BIGINT)
-           AS cdot
-  FROM base0 b CROSS JOIN cent c
-),
-ranked AS (
-  SELECT vec_id, c_label,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY cdot DESC, c_label) AS crk
-  FROM ascore
-),
+    O["ann_topk_ivf_nprobe"] = f"""WITH {kmeans_cte},
 base AS (
-  SELECT b.vec_id, b.q, r.c_label AS cell FROM base0 b
-  JOIN ranked r ON b.vec_id = r.vec_id AND r.crk = 1
+  SELECT b.vec_id, b.q, r.cell FROM base0 b
+  JOIN rankedF r ON b.vec_id = r.vec_id AND r.crk = 1
 ),
 probes AS (
-  SELECT r.vec_id AS query_id, b0.q AS qq, r.c_label AS cell
-  FROM ranked r JOIN base0 b0 ON r.vec_id = b0.vec_id
+  SELECT r.vec_id AS query_id, b0.q AS qq, r.cell
+  FROM rankedF r JOIN base0 b0 ON r.vec_id = b0.vec_id
   WHERE r.crk <= 2 AND r.vec_id < 10
 ),
 cand AS (
