@@ -173,3 +173,43 @@ def test_large_path_matches_broadcast(learned, spark, tmp_path):
         assert set(a) == set(b), part
         diff = max(float(np.abs(a[i] - b[i]).max()) for i in a)
         assert diff < 1e-5, (part, diff)
+
+
+def test_joint_large_path_matches_broadcast(joint, spark, tmp_path):
+    """Joint-mode SMALL_MATRIX_LIMIT flip (train_large_joint): forcing
+    the join-based feature-state path reproduces the broadcast joint
+    path's embeddings for BOTH namespaces plus the TransE-coupled
+    mention table — same splitmix init, bit-identical negative draws,
+    same TransE corruption/sign-gradients, same projection; residual is
+    float-sum association order in the grad aggregation."""
+    import numpy as np
+
+    from usc_ds_relationextraction_spark.plans.training import (
+        CoTypeJointTrainer)
+    from usc_ds_relationextraction_spark.sources.catalog import Warehouse
+    pipe, _ = joint
+    rm_mf = pipe.wh.read("rm_mention_feature")
+    rm_ft = pipe.wh.read("rm_feature_type")
+    rm_mt = pipe.wh.read("rm_mention_type")
+    tri = pipe.wh.read("triples_mention")
+    em = {k: pipe.wh.read(f"em_{k}")
+          for k in ("mention_feature", "feature_type", "mention_type")}
+
+    t_small = CoTypeJointTrainer(
+        spark, Warehouse(spark, str(tmp_path / "wjs")), "rm", lr=0.25)
+    small = t_small.train(rm_mf, rm_ft, rm_mt, tri, epochs=4,
+                          resume=False, em_graphs=em)
+    t_large = CoTypeJointTrainer(
+        spark, Warehouse(spark, str(tmp_path / "wjl")), "rm", lr=0.25,
+        small_matrix_limit=1)
+    large = t_large.train(rm_mf, rm_ft, rm_mt, tri, epochs=4,
+                          resume=False, em_graphs=em)
+
+    for part in ("feature", "type", "feature_em", "type_em", "mention"):
+        a = {r["id"]: np.array(r["vec"], dtype=np.float64)
+             for r in small[part].collect()}
+        b = {r["id"]: np.array(r["vec"], dtype=np.float64)
+             for r in large[part].collect()}
+        assert set(a) == set(b), part
+        diff = max(float(np.abs(a[i] - b[i]).max()) for i in a)
+        assert diff < 1e-5, (part, diff)

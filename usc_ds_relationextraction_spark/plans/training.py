@@ -712,6 +712,29 @@ class CoTypeJointTrainer(CoTypeRMTrainer):
         if triples is None:
             return super().train(mention_feature, feature_type,
                                  mention_type, epochs, resume, verbose)
+        # placement flip (joint): past the limit every namespace's
+        # feature state moves to the join-based path (type matrices stay
+        # broadcast); TransE already runs on the distributed mention
+        # table, so only the SGNS/PLE state placement changes
+        n_nodes = (mention_feature.select("feature_id")
+                   .union(feature_type.select("feature_id"))
+                   .distinct().count()
+                   + feature_type.select("type_id")
+                   .union(mention_type.select("type_id"))
+                   .distinct().count())
+        if em_graphs is not None:
+            n_nodes += (em_graphs["mention_feature"].select("feature_id")
+                        .union(em_graphs["feature_type"]
+                               .select("feature_id")).distinct().count()
+                        + em_graphs["feature_type"].select("type_id")
+                        .union(em_graphs["mention_type"].select("type_id"))
+                        .distinct().count())
+        if n_nodes > self.small_matrix_limit:
+            from .training_large import train_large_joint
+            return train_large_joint(self, mention_feature, feature_type,
+                                     mention_type, triples, em_graphs,
+                                     epochs, resume=resume,
+                                     verbose=verbose)
         self._triples = triples.select(
             F.col("em1_id").alias("h_id"), F.col("em2_id").alias("t_id"),
             F.col("rm_id").alias("r_id")).localCheckpoint(eager=True)

@@ -362,8 +362,8 @@ def train_large(trainer, mention_feature: DataFrame,
     import time as _time
     for epoch in range(start_epoch, epochs):
         _t0 = _time.time()
-        lr = max(trainer.lr0 * (1.0 - epoch / float(epochs)),
-                 trainer.lr0 * 1e-4)
+        from .training import lr_schedule
+        lr = lr_schedule(trainer.lr0, epoch, epochs)
         bcast = sc.broadcast((y_i2r, Y_mat, neg_y))
 
         m_named = emb_m.select(F.col("id").alias("u_id"),
@@ -439,3 +439,240 @@ def _result(trainer, emb_m, emb_f, y_ids, Y_mat) -> dict:
             "feature": emb_f.select(
                 "id", F.col("vec").cast("array<float>").alias("vec")),
             "type": trainer._matrix_df(y_ids, Y_mat)}
+
+
+# ------------------------------------------------------ joint large path
+def train_large_joint(trainer, mention_feature: DataFrame,
+                      feature_type: DataFrame, mention_type: DataFrame,
+                      triples: DataFrame, em_graphs: dict | None,
+                      epochs: int, resume: bool = True,
+                      verbose: bool = False) -> dict[str, DataFrame]:
+    """Joint-mode flip target: every feature namespace's state
+    distributed, the TransE coupling unchanged from the broadcast joint
+    path (it already runs on the distributed mention table).
+
+    Placement: all namespaces flip together (mixed per-namespace
+    placement is not worth the complexity — the flip is driven by the
+    SUM of vocab sizes, same rule as the base trainer).  Type matrices
+    stay broadcast per namespace (KB-sized, PLE needs full rows).
+
+    Numeric parity with ``CoTypeJointTrainer._train_joint`` mirrors the
+    RM case (``test_large_path_matches_broadcast``): identical splitmix
+    init, bit-identical negative draws through the distributed inverse
+    CDF, same gradient kernels, same lr/projection/checkpoint protocol;
+    residual is float-sum association order in ``_agg_grads``.
+    """
+    from .training import (corrupted_triples_simple, init_embeddings,
+                           lr_schedule, transe_step)
+    spark: SparkSession = trainer.spark
+    sc = spark.sparkContext
+    dim, negatives, alpha = trainer.dim, trainer.negatives, trainer.alpha
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    graphs = {trainer.prefix: (mention_feature, feature_type,
+                               mention_type)}
+    if em_graphs is not None:
+        graphs["em"] = (em_graphs["mention_feature"],
+                        em_graphs["feature_type"],
+                        em_graphs["mention_type"])
+
+    tri = triples.select(
+        F.col("em1_id").alias("h_id"), F.col("em2_id").alias("t_id"),
+        F.col("rm_id").alias("r_id")).localCheckpoint(eager=True)
+
+    # per-namespace state: broadcast Y, distributed feature table, CDF
+    ns_state: dict = {}
+    all_mentions = tri.select(F.col("h_id").alias("mention_id")) \
+        .union(tri.select("t_id")).union(tri.select("r_id"))
+    for ns, (mf_g, ft_g, mt_g) in graphs.items():
+        y_rows = ft_g.select("type_id").union(mt_g.select("type_id")) \
+            .distinct().orderBy("type_id").toPandas()
+        y_ids = y_rows["type_id"].to_numpy(dtype=np.int64)
+        if len(y_ids) > 1_000_000:
+            raise ValueError(f"namespace {ns}: type vocab too large for "
+                             "the broadcast-Y PLE")
+        y_i2r = {int(i): r for r, i in enumerate(y_ids)}
+        Y_mat = init_matrix_fast(y_ids, dim, "y")
+        feat_nodes = mf_g.select("feature_id") \
+            .union(ft_g.select("feature_id"))
+        emb_f = init_embeddings_splitmix(feat_nodes, "feature_id", dim, "f")
+        cdf, bucket_ends = build_cdf(mf_g, "feature_id")
+        ns_state[ns] = {
+            "y_ids": y_ids, "y_i2r": y_i2r, "Y_mat": Y_mat,
+            "neg_y": _neg_table(ft_g, "type_id"), "emb_f": emb_f,
+            "cdf": cdf.localCheckpoint(eager=True),
+            "bucket_ends": bucket_ends,
+            "mf": mf_g.select(F.col("mention_id").alias("u_id"),
+                              F.col("feature_id").alias("v_id"), "w")
+            .repartition(shuffle_n, "u_id").localCheckpoint(eager=True),
+            "fy": ft_g.select(F.col("feature_id").alias("u_id"),
+                              F.col("type_id").alias("v_id"), "w")
+            .localCheckpoint(eager=True),
+            "cand": mt_g.groupBy("mention_id")
+            .agg(F.collect_list("type_id").alias("cand_ids"))
+            .withColumnRenamed("mention_id", "u_id")
+            .localCheckpoint(eager=True),
+        }
+        all_mentions = all_mentions.union(
+            mf_g.select(F.col("mention_id")))
+    all_mentions = all_mentions.distinct()
+
+    meta_name = trainer._name("meta")
+    start_epoch = 0
+    if resume and trainer.wh.exists(meta_name):
+        meta = trainer.wh.read(meta_name).collect()[0]
+        start_epoch = meta["epoch"] + 1
+        emb_m = trainer.wh.read(trainer._name("mention"))
+        for ns, st in ns_state.items():
+            st["emb_f"] = trainer.wh.read(
+                trainer._space_name("feature", ns)).select(
+                "id", F.col("vec").cast("array<double>").alias("vec"))
+            st["Y_mat"] = trainer._load_matrix(
+                trainer._space_name("type", ns), st["y_ids"], st["y_i2r"])
+    else:
+        emb_m = init_embeddings(all_mentions, "mention_id", dim, "m")
+
+    def _res():
+        out = {"mention": emb_m}
+        for ns, st in ns_state.items():
+            fk = "feature" if ns == trainer.prefix else f"feature_{ns}"
+            yk = "type" if ns == trainer.prefix else f"type_{ns}"
+            out[fk] = st["emb_f"].select(
+                "id", F.col("vec").cast("array<float>").alias("vec"))
+            out[yk] = trainer._matrix_df(st["y_ids"], st["Y_mat"])
+        return out
+
+    if start_epoch >= epochs:
+        return _res()
+
+    ks = F.array(*[F.lit(k) for k in range(negatives)])
+
+    @pandas_udf("double")
+    def u01_udf(u_id: pd.Series, v_id: pd.Series, salt: pd.Series
+                ) -> pd.Series:
+        key = u_id.astype(str) + "_" + v_id.astype(str)
+        out = np.empty(len(key))
+        for s in salt.unique():
+            m = (salt == s).to_numpy()
+            out[m] = _hash_u01(key[m], int(s))
+        return pd.Series(out)
+
+    ab_m = [trainer.wh.path(trainer._name("mention_a")),
+            trainer.wh.path(trainer._name("mention_b"))]
+    emb_m.write.mode("overwrite").parquet(ab_m[0])
+    emb_m = spark.read.parquet(ab_m[0])
+    for ns, st in ns_state.items():
+        st["ab"] = [trainer.wh.path(trainer._space_name("feature_a", ns)),
+                    trainer.wh.path(trainer._space_name("feature_b", ns))]
+        st["emb_f"].write.mode("overwrite").parquet(st["ab"][0])
+        st["emb_f"] = spark.read.parquet(st["ab"][0])
+
+    import time as _time
+    for epoch in range(start_epoch, epochs):
+        _t0 = _time.time()
+        lr = lr_schedule(trainer.lr0, epoch, epochs)
+        m_named = emb_m.select(F.col("id").alias("u_id"),
+                               F.col("vec").alias("u_vec"))
+        all_grads = []
+        bcasts = []
+        for ns, st in ns_state.items():
+            bcast = sc.broadcast((st["y_i2r"], st["Y_mat"], st["neg_y"]))
+            bcasts.append(bcast)
+            f_named = st["emb_f"].select(F.col("id").alias("v_id"),
+                                         F.col("vec").alias("v_vec"))
+            ed = st["mf"].join(m_named, on="u_id").join(f_named, on="v_id")
+            all_grads.append(_pos_grads(ed, ns))
+            draws = st["mf"].join(m_named, on="u_id") \
+                .withColumn("k", F.explode(ks)) \
+                .withColumn("u01", u01_udf(
+                    "u_id", "v_id",
+                    (F.lit(epoch * 7919) + F.col("k")).cast("long")))
+            drawn = sample_negatives(
+                draws.select("u_id", "v_id", "k", "w", "u_vec", "u01"),
+                st["cdf"], st["bucket_ends"])
+            all_grads.append(_neg_grads(
+                drawn.join(st["emb_f"].select(
+                    F.col("id").alias("neg_id"),
+                    F.col("vec").alias("neg_vec")), on="neg_id"), ns))
+            fyu = st["fy"].join(st["emb_f"].select(
+                F.col("id").alias("u_id"), F.col("vec").alias("u_vec")),
+                on="u_id")
+            all_grads.append(_fy_grads(fyu, ns, bcast, epoch, negatives))
+            all_grads.append(_ple_grads(st["cand"].join(m_named, on="u_id"),
+                                        ns, bcast, alpha))
+
+        # TransE pass — identical to the broadcast joint path
+        ct = corrupted_triples_simple(tri, epoch)
+        tw = ct
+        for cid, vname in (("h_id", "h_vec"), ("t_id", "t_vec"),
+                           ("r_id", "r_vec"), ("tc_id", "tc_vec")):
+            tw = tw.join(emb_m.select(F.col("id").alias(cid),
+                                      F.col("vec").alias(vname)), on=cid)
+        g_tr = transe_step(tw, epoch)
+        if trainer.trans_weight != 1.0:
+            g_tr = g_tr.withColumn(
+                "grad", F.transform(
+                    "grad", lambda x: x * F.lit(trainer.trans_weight)))
+        all_grads.append(g_tr)
+
+        grads = all_grads[0]
+        for g in all_grads[1:]:
+            grads = grads.unionByName(g)
+        agg = _agg_grads(grads, dim).localCheckpoint(eager=True)
+
+        class _YOnly:
+            def __init__(self, ns, st):
+                self._t = {f"type@{ns}": (st["Y_mat"], st["y_i2r"])}
+
+            def targets(self):
+                return self._t
+        _apply_small_grads(agg, lr,
+                           {ns: _YOnly(ns, st)
+                            for ns, st in ns_state.items()})
+
+        mg = agg.where(F.col("node_set") == "mention") \
+            .select(F.col("node_id").alias("id"), "grad", "cnt")
+        new_m = _join_apply(emb_m, mg, lr, "float")
+        # unit-ball projection (hplelib.cpp:746-767), as in the
+        # broadcast joint path
+        norm = F.sqrt(F.aggregate(
+            "vec", F.lit(0.0), lambda acc, x: acc + x * x))
+        new_m = new_m.select(
+            "id",
+            F.when(norm > 1.0,
+                   F.transform("vec", lambda x: (x / norm).cast("float")))
+            .otherwise(F.col("vec")).alias("vec"))
+        new_m.write.mode("overwrite").parquet(ab_m[(epoch + 1) % 2])
+        emb_m = spark.read.parquet(ab_m[(epoch + 1) % 2])
+
+        for ns, st in ns_state.items():
+            fg = agg.where(F.col("node_set") == f"feature@{ns}") \
+                .select(F.col("node_id").alias("id"), "grad", "cnt")
+            new_f = _join_apply(st["emb_f"], fg, lr, "double")
+            tgt = st["ab"][(epoch + 1) % 2]
+            new_f.write.mode("overwrite").parquet(tgt)
+            st["emb_f"] = spark.read.parquet(tgt)
+        agg.unpersist()
+        for b in bcasts:
+            b.unpersist()
+
+        if (epoch + 1) % trainer.checkpoint_every == 0 \
+                or epoch == epochs - 1:
+            trainer.wh.write(trainer._name("mention"), emb_m)
+            for ns, st in ns_state.items():
+                trainer.wh.write(
+                    trainer._space_name("feature", ns),
+                    st["emb_f"].select(
+                        "id",
+                        F.col("vec").cast("array<float>").alias("vec")))
+                trainer.wh.write(trainer._space_name("type", ns),
+                                 trainer._matrix_df(st["y_ids"],
+                                                    st["Y_mat"]))
+            trainer.wh.write(meta_name, spark.createDataFrame(
+                [(epoch, float(lr))], "epoch int, lr double"))
+            emb_m = trainer.wh.read(trainer._name("mention"))
+        if verbose:
+            print(f"[train-large-joint] epoch {epoch} lr={lr:.5f} "
+                  f"wall={_time.time() - _t0:.1f}s", flush=True)
+
+    return _res()
