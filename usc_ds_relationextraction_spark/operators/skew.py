@@ -39,6 +39,9 @@ def explode_salts(df: DataFrame, n_salts: int) -> DataFrame:
 # the explicit analog for the strategy chooser).
 BROADCAST_ROW_LIMIT = 2_000_000
 
+# (plan-hash, limit) -> probed row count; lives for the driver process
+_PROBE_CACHE: dict = {}
+
 
 def adaptive_dim_join(
     big: DataFrame,
@@ -63,9 +66,20 @@ def adaptive_dim_join(
          (the only case where we pay the ×S dim replication).
 
     The dim-size probe is a bounded job: ``limit(N+1).count()`` scans at
-    most N+1 rows whatever the dimension's true size.
+    most N+1 rows whatever the dimension's true size — and is memoized
+    per analyzed plan, so rebuilding the same query pays it once per
+    process, not once per join construction.
     """
-    probe = dim.limit(broadcast_row_limit + 1).count()
+    try:
+        key = (dim._jdf.queryExecution().analyzed().semanticHash(),
+               broadcast_row_limit)
+    except Exception:
+        key = (str(dim._jdf.queryExecution().analyzed()),
+               broadcast_row_limit)
+    probe = _PROBE_CACHE.get(key)
+    if probe is None:
+        probe = dim.limit(broadcast_row_limit + 1).count()
+        _PROBE_CACHE[key] = probe
     if probe <= broadcast_row_limit:
         return big.join(F.broadcast(dim), on=on, how=how)
     aqe = str(big.sparkSession.conf.get(
