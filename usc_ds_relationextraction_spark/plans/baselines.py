@@ -262,8 +262,10 @@ def train_eval_clpl(feature_rows: DataFrame, lambda_reg: float = 1e-4,
                                vocabSize=vocab_size, binary=True).fit(train)
     vocab = list(cv_model.vocabulary)
     v_size = len(vocab)
-    labels = sorted({l for (ls,) in train.select("gold").collect()
-                     for l in ls})
+    # label vocabulary via distinct-explode — only |types| rows reach the
+    # driver, never the mention table
+    labels = sorted(r["l"] for r in train.select(
+        F.explode("gold").alias("l")).distinct().collect())
     l_size = len(labels)
     parent = _type_hierarchy(labels)
     spark = feature_rows.sparkSession
@@ -400,8 +402,8 @@ def train_eval_hierarchy_svm(feature_rows: DataFrame, max_iter: int = 30,
 
     cv_model = CountVectorizer(inputCol="feats", outputCol="fvec",
                                vocabSize=vocab_size, binary=True).fit(train)
-    all_labels = sorted({l for (ls,) in train.select("gold").collect()
-                         for l in ls})
+    all_labels = sorted(r["l"] for r in train.select(
+        F.explode("gold").alias("l")).distinct().collect())
     parent = _type_hierarchy(all_labels)
     roots = sorted(l for l in all_labels if l not in parent)
     children = {r: sorted(c for c, p in parent.items() if p == r)
