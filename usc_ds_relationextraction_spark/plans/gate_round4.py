@@ -22,7 +22,7 @@ from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -243,6 +243,119 @@ FROM norm WHERE sn > {S8_THRESHOLD!r}
 """
 
 
+# ================================================================== M9
+# The zoo's count-based member, driver-gated: a multinomial Naive-Bayes
+# sufficient-statistic voter (binary features, add-zero smoothing,
+# unnormalized integer scores).  Every other M9 family trains by
+# iterative optimization (float, engine-specific) and stays pytest-only;
+# this member's fit IS a groupBy-count, so train AND predict are exactly
+# expressible in both engines — the oracle checks the whole
+# split/fit/score/argmax protocol, not a stub.
+# Reference: the zoo harness Classifier/Classifier.py:16-41 drives
+# interchangeable fit/predict members over the same feature rows; the
+# class protocol (exact sorted label set, 'None' fallback) matches
+# plans/baselines.py and M10 (evaluation.py:82-111).
+M9_SPLIT_MOD = 5          # every 5th mention (by portable hash) is test
+M9_CLASS_CAP = 1000       # injective-fold bound, as SO5
+
+
+def m9_nb_vote(spark: SparkSession, sf: str) -> DataFrame:
+    """M9: NB count-voter over the REAL F1-F11 feature strings and the
+    REAL DS gold sets — deterministic 80/20 split, per-(feature, class)
+    train counts, test score = sum of matched counts, argmax class with
+    (votes DESC, class ASC) tie-break, 'None' when no feature matched.
+
+    Scale shape: fit is one shuffle (groupBy feature, class); scoring
+    joins the corpus-scale feature table to the stats table on
+    ``feature`` — a SKEWED key (structural features like EM1_BEFORE_EM2
+    appear in every mention), so this join rides AQE skew-join splitting
+    per session defaults; the stats table is NOT broadcast (it grows
+    with vocab × classes)."""
+    from .parity_queries import _gold_pred, _pair_key, rm_feature_strings
+
+    k = _pair_key().alias("k")
+    mf = rm_feature_strings(spark, sf).select(k, "feature").distinct()
+    gp = _gold_pred(spark, sf).select("k", "gold_set")
+    is_test = F.pmod(h64(F.concat(F.col("k"), F.lit("|m9split"))),
+                     F.lit(M9_SPLIT_MOD)) == 0
+
+    rows = mf.join(gp, "k")
+    train = rows.where(~is_test)
+    stats = train.groupBy("feature",
+                          F.col("gold_set").alias("cls")) \
+        .agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("cls")
+    classes = train.select(F.col("gold_set").alias("cls")).distinct() \
+        .select("cls", (F.row_number().over(w) - 1).alias("cls_id"))
+
+    test = rows.where(is_test)
+    votes = test.join(stats, "feature") \
+        .groupBy("k", "cls").agg(F.sum("cnt").alias("votes")) \
+        .join(F.broadcast(classes), "cls")
+    fold = (F.col("votes") * M9_CLASS_CAP
+            + (M9_CLASS_CAP - 1 - F.col("cls_id")))
+    pred = votes.groupBy("k").agg(
+        F.max_by("cls", fold).alias("pred_set"),
+        F.max("votes").alias("votes"))
+
+    out = gp.where(is_test).join(pred, "k", "left")
+    return out.select(
+        "k", "gold_set",
+        F.coalesce("pred_set", F.lit("None")).alias("pred_set"),
+        F.coalesce("votes", F.lit(0)).cast("bigint").alias("votes"),
+        (F.coalesce("pred_set", F.lit("None")) == F.col("gold_set"))
+        .cast("int").alias("correct"))
+
+
+def _m9_sql(e) -> str:
+    from .parity_queries import (K7, _gold_pred_sql,
+                                 _rm_feature_strings_sql)
+    key = ("conv_id || '|' || turn_idx || '|' || sent_id || '|' || "
+           "em1_start || '|' || em1_end || '|' || em2_start || '|' || "
+           "em2_end")
+    split = (f"({h64_duckdb('k || ' + repr('|m9split'))} "
+             f"% {M9_SPLIT_MOD}) = 0")
+    return f"""
+WITH rmf AS MATERIALIZED ({_rm_feature_strings_sql(e)}
+  SELECT {K7}, feature FROM rfeats),
+g AS MATERIALIZED ({_gold_pred_sql(e)} SELECT k, gold_set FROM gp),
+mf AS (SELECT DISTINCT {key} AS k, feature FROM rmf),
+rows_ AS MATERIALIZED (
+  SELECT mf.k, mf.feature, g.gold_set,
+         {split.replace('md5(k ', 'md5(mf.k ')} AS is_test
+  FROM mf JOIN g ON mf.k = g.k
+),
+stats AS (
+  SELECT feature, gold_set AS cls, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM rows_ WHERE NOT is_test GROUP BY feature, gold_set
+),
+classes AS (
+  SELECT cls,
+         CAST(row_number() OVER (ORDER BY cls) - 1 AS BIGINT) AS cls_id
+  FROM (SELECT DISTINCT gold_set AS cls FROM rows_ WHERE NOT is_test)
+),
+votes AS (
+  SELECT r.k, s.cls, CAST(SUM(s.cnt) AS BIGINT) AS votes
+  FROM rows_ r JOIN stats s ON r.feature = s.feature
+  WHERE r.is_test GROUP BY r.k, s.cls
+),
+pred AS (
+  SELECT v.k,
+         arg_max(v.cls, v.votes * {M9_CLASS_CAP}
+                        + ({M9_CLASS_CAP} - 1 - c.cls_id)) AS pred_set,
+         MAX(v.votes) AS votes
+  FROM votes v JOIN classes c ON v.cls = c.cls
+  GROUP BY v.k
+),
+tg AS (SELECT k, gold_set FROM g WHERE {split})
+SELECT tg.k, tg.gold_set,
+       coalesce(p.pred_set, 'None') AS pred_set,
+       CAST(coalesce(p.votes, 0) AS BIGINT) AS votes,
+       CAST(coalesce(p.pred_set, 'None') = tg.gold_set AS INT) AS correct
+FROM tg LEFT JOIN pred p ON tg.k = p.k
+"""
+
+
 # ------------------------------------------------------------- registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -251,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m6_rm_bcd_epoch": m6_rm_bcd_epoch,
         "s7_embedding_roundtrip": s7_embedding_roundtrip,
         "s8_prediction_roundtrip": s8_prediction_roundtrip,
+        "m9_nb_vote": m9_nb_vote,
     }
 
 
@@ -262,4 +376,5 @@ def oracles() -> dict[str, str]:
         "m6_rm_bcd_epoch": _m6_sql(e),
         "s7_embedding_roundtrip": _s7_sql(),
         "s8_prediction_roundtrip": _s8_sql(),
+        "m9_nb_vote": _m9_sql(e),
     }
