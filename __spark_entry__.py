@@ -502,6 +502,7 @@ _DEPRIORITIZED = [
 _LEAD = [
     "m4_objective_mix", "m5_lr_schedule", "m6_rm_bcd_epoch",
     "s7_embedding_roundtrip", "s8_prediction_roundtrip", "m9_nb_vote",
+    "s2_stream_triples",
     "m1_sgns_epoch", "m2_ple_epoch", "m3_transe_epoch",
     "kg_entity_nodes", "kg_canonical_edges", "kg_entity_resolution",
     "kg_collapsed_edges", "mm_decode_real",

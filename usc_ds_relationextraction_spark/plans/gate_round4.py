@@ -356,6 +356,60 @@ FROM tg LEFT JOIN pred p ON tg.k = p.k
 """
 
 
+# ================================================================== S2
+def s2_stream_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """S2: the REAL Structured-Streaming extraction path, driver-gated —
+    ``readStream`` over the transcript fixture, the production
+    stream-static join extractor (``ingest.turn_local_triples_join``:
+    fused Arrow pair UDF + three broadcast stream-static joins), memory
+    sink under an ``availableNow`` trigger, then the drained table
+    distinct-canonicalized (append mode forbids distinct in-stream).
+
+    The oracle is the INDEPENDENT batch derivation (the relational pairs
+    chain + bidirectional fact join in DuckDB), so hash agreement proves
+    stream ≡ batch end-to-end — the same property test_streaming checks
+    in pytest, now under the driver's hash protocol."""
+    import tempfile
+
+    from ..sources import synthetic as syn
+    from ..streaming.ingest import turn_local_triples_join
+    import __spark_entry__ as e
+    fxd = syn.ensure_fixtures(spark, sf)
+    src = os.path.join(fxd, "transcripts.parquet")
+    schema = spark.read.parquet(src).schema
+    turns = spark.readStream.schema(schema).parquet(src)
+    trip = turn_local_triples_join(
+        turns, e._fx(spark, sf, "kb_aliases"), e._fx(spark, sf, "kb_facts"))
+    qn = "s2_gate_triples"
+    for q in spark.streams.active:
+        if q.name == qn:
+            q.stop()
+    ck = tempfile.mkdtemp(prefix="s2_gate_ck_")
+    q = (trip.writeStream.format("memory").queryName(qn)
+         .outputMode("append").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qn) \
+        .select("subj", "pred", "obj", "conv_id", "turn_idx").distinct()
+
+
+def _s2_sql(e) -> str:
+    return f"""
+WITH {e._sql_pairs().lstrip()},
+trips AS (
+  SELECT p.em1_text AS subj, f.relation AS pred, p.em2_text AS obj,
+         p.conv_id, p.turn_idx
+  FROM pairs p JOIN {e._fx_sql('kb_facts')} f
+    ON p.em1_entity = f.subj_id AND p.em2_entity = f.obj_id
+  UNION ALL
+  SELECT p.em2_text, f.relation, p.em1_text, p.conv_id, p.turn_idx
+  FROM pairs p JOIN {e._fx_sql('kb_facts')} f
+    ON p.em2_entity = f.subj_id AND p.em1_entity = f.obj_id
+)
+SELECT DISTINCT subj, pred, obj, conv_id, turn_idx FROM trips
+"""
+
+
 # ------------------------------------------------------------- registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -365,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_embedding_roundtrip": s7_embedding_roundtrip,
         "s8_prediction_roundtrip": s8_prediction_roundtrip,
         "m9_nb_vote": m9_nb_vote,
+        "s2_stream_triples": s2_stream_triples,
     }
 
 
@@ -377,4 +432,5 @@ def oracles() -> dict[str, str]:
         "s7_embedding_roundtrip": _s7_sql(),
         "s8_prediction_roundtrip": _s8_sql(),
         "m9_nb_vote": _m9_sql(e),
+        "s2_stream_triples": _s2_sql(e),
     }
