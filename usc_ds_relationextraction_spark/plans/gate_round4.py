@@ -284,14 +284,20 @@ def m9_nb_vote(spark: SparkSession, sf: str) -> DataFrame:
     stats = train.groupBy("feature",
                           F.col("gold_set").alias("cls")) \
         .agg(F.count("*").alias("cnt"))
+    # class priors: mentions per class in train (the NB denominator —
+    # without it count-voting degenerates to the majority class) + a
+    # dense class id for the injective tie-break fold
     w = Window.orderBy("cls")
-    classes = train.select(F.col("gold_set").alias("cls")).distinct() \
-        .select("cls", (F.row_number().over(w) - 1).alias("cls_id"))
+    classes = train.select("k", F.col("gold_set").alias("cls")) \
+        .distinct().groupBy("cls").agg(F.count("*").alias("n_c")) \
+        .select("cls", "n_c", (F.row_number().over(w) - 1).alias("cls_id"))
 
     test = rows.where(is_test)
     votes = test.join(stats, "feature") \
-        .groupBy("k", "cls").agg(F.sum("cnt").alias("votes")) \
-        .join(F.broadcast(classes), "cls")
+        .groupBy("k", "cls").agg(F.sum("cnt").alias("raw_votes")) \
+        .join(F.broadcast(classes), "cls") \
+        .withColumn("votes",
+                    F.expr("raw_votes * 1000000 div n_c"))
     fold = (F.col("votes") * M9_CLASS_CAP
             + (M9_CLASS_CAP - 1 - F.col("cls_id")))
     pred = votes.groupBy("k").agg(
@@ -330,21 +336,27 @@ stats AS (
   FROM rows_ WHERE NOT is_test GROUP BY feature, gold_set
 ),
 classes AS (
-  SELECT cls,
+  SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_c,
          CAST(row_number() OVER (ORDER BY cls) - 1 AS BIGINT) AS cls_id
-  FROM (SELECT DISTINCT gold_set AS cls FROM rows_ WHERE NOT is_test)
+  FROM (SELECT DISTINCT k, gold_set AS cls FROM rows_ WHERE NOT is_test)
+  GROUP BY cls
 ),
-votes AS (
-  SELECT r.k, s.cls, CAST(SUM(s.cnt) AS BIGINT) AS votes
+raw AS (
+  SELECT r.k, s.cls, CAST(SUM(s.cnt) AS BIGINT) AS raw_votes
   FROM rows_ r JOIN stats s ON r.feature = s.feature
   WHERE r.is_test GROUP BY r.k, s.cls
+),
+votes AS (
+  SELECT raw.k, raw.cls, c.cls_id,
+         CAST(raw.raw_votes * 1000000 // c.n_c AS BIGINT) AS votes
+  FROM raw JOIN classes c ON raw.cls = c.cls
 ),
 pred AS (
   SELECT v.k,
          arg_max(v.cls, v.votes * {M9_CLASS_CAP}
-                        + ({M9_CLASS_CAP} - 1 - c.cls_id)) AS pred_set,
+                        + ({M9_CLASS_CAP} - 1 - v.cls_id)) AS pred_set,
          MAX(v.votes) AS votes
-  FROM votes v JOIN classes c ON v.cls = c.cls
+  FROM votes v
   GROUP BY v.k
 ),
 tg AS (SELECT k, gold_set FROM g WHERE {split})
