@@ -1,0 +1,62 @@
+"""Fused Arrow span scan ≡ its HOF/BNLJ agreement oracle (P3).
+
+The fused form (operators/spans.py: broadcast first-token alias index,
+one narrow Arrow map, no join) is the query path; the original HOF form
+under an ``arrays_overlap`` BroadcastNestedLoopJoin is retained purely so
+this agreement can be asserted — two independent derivations of the same
+hit table (the sketch-bank twin pattern).
+
+Reference: DataProcessor/nlp_parse.py:162-178 (find_index), 82-96
+(resume-after-match).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from usc_ds_relationextraction_spark.operators.spans import (
+    align_spans, build_alias_index)
+from usc_ds_relationextraction_spark.plans import parity_queries as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted((r.conv_id, r.turn_idx, r.alias, tuple(r.hits))
+                  for r in df.collect())
+
+
+def test_fused_matches_hof_on_fixture(spark):
+    fused = pq._p3_hits_fused(spark, SF)
+    hof = pq._p3_hits_hof(spark, SF)
+    a, b = _rows(fused), _rows(hof)
+    assert a and a == b
+
+
+def test_align_spans_semantics(spark):
+    turns = spark.createDataFrame(
+        [("c1", 0, ["New", "York", "is", "in", "New", "York"]),
+         ("c1", 1, ["nothing", "here"]),
+         ("c2", 0, ["York", "New"]),             # partial orders only
+         ("c2", 1, ["a", "New", "York", "b"]),
+         ("c2", 2, [])],
+        "conv_id string, turn_idx int, toks array<string>")
+    aliases = spark.createDataFrame(
+        [("New York",), ("York",), ("",), ("  ",)], "alias string")
+    got = {(r.conv_id, r.turn_idx, r.alias): list(r.hits)
+           for r in align_spans(turns, aliases).collect()}
+    assert got == {
+        ("c1", 0, "New York"): [1, 5],   # successive occurrences, 1-based
+        ("c1", 0, "York"): [2, 6],
+        ("c2", 0, "York"): [1],
+        ("c2", 1, "New York"): [2],
+        ("c2", 1, "York"): [3],
+    }
+
+
+def test_alias_index_tokenization_twin():
+    # same rule as tokenize.tokens_col: split on ' ', drop empties
+    idx = build_alias_index(["a  b", " c", "", "a d"])
+    assert sorted(idx) == ["a", "c"]
+    assert [(a, t) for a, t in idx["a"]] == [("a  b", ["a", "b"]),
+                                             ("a d", ["a", "d"])]

@@ -247,11 +247,27 @@ def p6_lemma(spark: SparkSession, sf: str) -> DataFrame:
     return rows.withColumn("lemma", lemma_udf("token", "tag"))
 
 
-def p3_span_alignment(spark: SparkSession, sf: str) -> DataFrame:
-    """P3: find_index — first token-subsequence occurrence of each KB alias
-    in each turn (nlp_parse.py:162-178), via JVM higher-order functions
-    (sequence/filter/slice): no Python in the hot path, no shuffle — the
-    alias dimension broadcasts."""
+def _p3_hits_fused(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared P3 hit table — fused Arrow scan (``operators/spans.py``):
+    one narrow map over the turn table against a broadcast first-token-
+    indexed alias dictionary; no join, no interpreted HOFs.  The old
+    HOF/BroadcastNestedLoopJoin form is kept as :func:`_p3_hits_hof`
+    (agreement twin, ``tests/test_spans.py``); at 10^12 turns the
+    nested-loop O(T·A) factor disqualified it as the query path."""
+    from ..operators.spans import align_spans
+    e = _entry()
+    t = e._fx(spark, sf, "transcripts")
+    tt = t.select("conv_id", "turn_idx", tokens_col("text").alias("toks"))
+    al = e._fx(spark, sf, "kb_aliases")
+    return align_spans(tt, al)
+
+
+def _p3_hits_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """The original HOF form — find_index as JVM sequence/filter/slice
+    under an ``arrays_overlap`` broadcast nested-loop join.  Retained as
+    the agreement oracle for the fused scan (two independent derivations;
+    same contract as the sketch banks' HOF twins).  NOT the query path:
+    interpreted HOF evaluation + the O(|turns|·|aliases|) BNLJ."""
     e = _entry()
     t = e._fx(spark, sf, "transcripts")
     tt = t.select("conv_id", "turn_idx", tokens_col("text").alias("toks"))
@@ -265,7 +281,13 @@ def p3_span_alignment(spark: SparkSession, sf: str) -> DataFrame:
                  lambda i: F.slice("toks", i, k) == F.col("atoks")),
     ).otherwise(F.array().cast("array<int>"))
     out = j.select("conv_id", "turn_idx", "alias", hits.alias("hits"))
-    return out.where(F.size("hits") > 0).select(
+    return out.where(F.size("hits") > 0)
+
+
+def p3_span_alignment(spark: SparkSession, sf: str) -> DataFrame:
+    """P3: find_index — first token-subsequence occurrence of each KB alias
+    in each turn (nlp_parse.py:162-178), via the fused Arrow span scan."""
+    return _p3_hits_fused(spark, sf).select(
         "conv_id", "turn_idx", "alias",
         (F.element_at("hits", 1) - 1).cast("int").alias("first_start"))
 
@@ -275,23 +297,9 @@ def p3_span_alignment_all(spark: SparkSession, sf: str) -> DataFrame:
     identical mention strings in one turn take SUCCESSIVE occurrences —
     the k-th request for an alias resumes searching after the (k-1)-th
     match.  Enumerating every occurrence with its ordinal is exactly that
-    assignment table (occ_idx k ↔ k-th resumed search), same plan shape
-    as the first-occurrence query plus one posexplode."""
-    e = _entry()
-    t = e._fx(spark, sf, "transcripts")
-    tt = t.select("conv_id", "turn_idx", tokens_col("text").alias("toks"))
-    al = e._fx(spark, sf, "kb_aliases").select("alias").distinct() \
-        .withColumn("atoks", tokens_col("alias"))
-    j = tt.join(F.broadcast(al), F.arrays_overlap("toks", "atoks"))
-    k, n = F.size("atoks"), F.size("toks")
-    hits = F.when(
-        n >= k,
-        F.filter(F.sequence(F.lit(1), n - k + 1),
-                 lambda i: F.slice("toks", i, k) == F.col("atoks")),
-    ).otherwise(F.array().cast("array<int>"))
-    out = j.select("conv_id", "turn_idx", "alias", hits.alias("hits")) \
-        .where(F.size("hits") > 0)
-    return out.select(
+    assignment table (occ_idx k ↔ k-th resumed search): the fused hit
+    table plus one posexplode."""
+    return _p3_hits_fused(spark, sf).select(
         "conv_id", "turn_idx", "alias",
         F.posexplode("hits").alias("occ0", "pos1")
     ).select("conv_id", "turn_idx", "alias",
