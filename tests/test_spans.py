@@ -54,6 +54,36 @@ def test_align_spans_semantics(spark):
     }
 
 
+def test_scan_kernel_property():
+    """Hypothesis: scan_tokens ≡ brute-force subsequence enumeration for
+    arbitrary small-alphabet token rows and alias sets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from usc_ds_relationextraction_spark.operators.spans import scan_tokens
+
+    tok = st.sampled_from(["a", "b", "c", "aa"])
+    row_s = st.lists(tok, max_size=12)
+    alias_s = st.lists(st.lists(tok, min_size=1, max_size=3),
+                       min_size=1, max_size=6)
+
+    @settings(max_examples=300, deadline=None)
+    @given(row=row_s, aliases=alias_s)
+    def check(row, aliases):
+        strs = [" ".join(a) for a in aliases]
+        got = dict(scan_tokens(row, build_alias_index(strs)))
+        want = {}
+        for s, at in zip(strs, aliases):
+            hits = [p + 1 for p in range(len(row) - len(at) + 1)
+                    if row[p:p + len(at)] == at]
+            if hits:
+                want[s] = hits
+        # duplicate alias strings collapse in the index — dedupe `want`
+        assert got == want
+
+    check()
+
+
 def test_alias_index_tokenization_twin():
     # same rule as tokenize.tokens_col: split on ' ', drop empties
     idx = build_alias_index(["a  b", " c", "", "a d"])

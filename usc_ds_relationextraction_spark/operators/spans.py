@@ -51,11 +51,33 @@ def build_alias_index(aliases: list[str]) -> dict[str, list[tuple[str, list[str]
     follows the input list; hit emission order per turn is first-match
     order, which the order-insensitive consumers don't depend on."""
     idx: dict[str, list[tuple[str, list[str]]]] = {}
+    seen: set[str] = set()
     for a in aliases:
+        if a in seen:       # exact-duplicate alias strings collapse here
+            continue        # (align_spans also .distinct()s the dim)
+        seen.add(a)
         at = _tok_ws(a)
         if at:
             idx.setdefault(at[0], []).append((a, at))
     return idx
+
+
+def scan_tokens(row: list[str],
+                idx: dict[str, list[tuple[str, list[str]]]]
+                ) -> list[tuple[str, list[int]]]:
+    """Pure scan kernel (shared by the UDF closure and property tests):
+    every (alias, 1-based ascending hit starts) with ≥1 hit in ``row``."""
+    n = len(row)
+    found: dict[str, list[int]] = {}
+    for p in range(n):
+        cands = idx.get(row[p])
+        if not cands:
+            continue
+        for alias, at in cands:
+            k = len(at)
+            if p + k <= n and row[p:p + k] == at:
+                found.setdefault(alias, []).append(p + 1)
+    return list(found.items())
 
 
 def align_spans(turns: DataFrame, alias_df: DataFrame,
@@ -77,21 +99,9 @@ def align_spans(turns: DataFrame, alias_df: DataFrame,
     @pandas_udf(HITS_SCHEMA)
     def scan(toks: pd.Series) -> pd.Series:
         idx = bc.value
-        out = []
-        for arr in toks:
-            row = list(arr) if arr is not None else []
-            n = len(row)
-            found: dict[str, list[int]] = {}
-            for p in range(n):
-                cands = idx.get(row[p])
-                if not cands:
-                    continue
-                for alias, at in cands:
-                    k = len(at)
-                    if p + k <= n and row[p:p + k] == at:
-                        found.setdefault(alias, []).append(p + 1)
-            out.append([(a, hs) for a, hs in found.items()])
-        return pd.Series(out)
+        return pd.Series([
+            scan_tokens(list(arr) if arr is not None else [], idx)
+            for arr in toks])
 
     # explode drops empty arrays -> turns with no hit vanish, exactly as
     # the HOF form's  WHERE size(hits) > 0
