@@ -86,6 +86,9 @@ def main():
 
     timed("simhash_arrow", dedup.simhash(docs), n_rows, results)
     timed("simhash_hof", dedup.simhash_hof(docs_cap), hof_cap, results)
+    timed("minhash8_arrow", dedup.with_minhash(docs), n_rows, results)
+    timed("minhash8_hof", dedup.with_minhash_hof(docs_cap), hof_cap,
+          results)
     timed("lsh16_arrow", similarity.lsh_buckets(emb, DIM, 16), n_rows,
           results)
     timed("lsh16_hof", similarity.lsh_buckets_hof(emb_cap, DIM, 16),

@@ -52,6 +52,30 @@ def test_simhash_edge_cases(spark):
     assert a[2] == a[3] == a[4] == 0
 
 
+def test_minhash_arrow_matches_hof(spark, docs):
+    a = dedup.with_minhash(docs)
+    b = dedup.with_minhash_hof(docs)
+    assert _rows(a) == _rows(b)
+
+
+def test_minhash_edge_cases(spark):
+    rows = [(1, "a b c d"),      # 2 shingles at ngram=3
+            (2, "a b"),          # too short → -1 sigs
+            (3, ""),             # empty → -1
+            (4, None),           # null → -1
+            (5, "  a  b  c ")]   # ragged whitespace, exactly 1 shingle
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: tuple(r)[1:] for r in dedup.with_minhash(df).collect()}
+    b = {r.doc_id: tuple(r)[1:]
+         for r in dedup.with_minhash_hof(df).collect()}
+    # HOF yields NULL sigs for null text (split(NULL)); Arrow normalizes
+    # to -1 — both mean "no shingles", same as the simhash twin contract
+    b = {k: tuple(-1 if x is None else x for x in v) for k, v in b.items()}
+    assert a == b
+    assert all(x == -1 for x in a[2] + a[3] + a[4])
+    assert a[1] != a[5] and all(x >= 0 for x in a[1])
+
+
 def test_lsh_buckets_arrow_matches_hof(spark, emb):
     a = similarity.lsh_buckets(emb, dim=64, planes=6)
     b = similarity.lsh_buckets_hof(emb, dim=64, planes=6)

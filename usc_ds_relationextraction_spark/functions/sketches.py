@@ -97,6 +97,70 @@ def simhash_arrow(text: Column | str, bits: int = 16) -> Column:
     return _f(c)
 
 
+# (shingle, perms) -> int64[perms] signature vector.  Bounded like the
+# token memo; amortizes the perms md5 calls per unique shingle across
+# batches on long-lived workers.
+_SHINGLE_MEMO: dict[tuple[str, int], np.ndarray] = {}
+_SHINGLE_MEMO_CAP = 1 << 19
+
+
+def _shingle_sig(sh: str, salts: list[str], perms: int) -> np.ndarray:
+    key = (sh, perms)
+    v = _SHINGLE_MEMO.get(key)
+    if v is None:
+        v = np.fromiter(
+            (int(hashlib.md5((sh + s).encode("utf-8")).hexdigest()[:15], 16)
+             for s in salts), dtype=np.int64, count=perms)
+        if len(_SHINGLE_MEMO) < _SHINGLE_MEMO_CAP:
+            _SHINGLE_MEMO[key] = v
+    return v
+
+
+def minhash_batch(texts: pd.Series, perms: int, ngram: int) -> pd.DataFrame:
+    """Vectorized MinHash signatures over word n-gram shingles.
+
+    Value-identical to the HOF/SQL form (``operators/dedup``): per perm
+    ``i``, min over shingles of ``h64(shingle || '|mh{i}')``; docs with
+    no shingle (short/empty/null text) sign as -1.  The batch hashes only
+    UNIQUE shingles (factorize) — the HOF form re-derives every shingle
+    and pays ``perms`` interpreted md5 passes per row.
+    """
+    salts = [f"|mh{i}" for i in range(perms)]
+    n = len(texts)
+    sh_list: list[list[str]] = []
+    for t in texts:
+        toks = [x for x in t.split(" ") if x] if isinstance(t, str) else []
+        k = len(toks) - (ngram - 1)
+        sh_list.append([" ".join(toks[i:i + ngram]) for i in range(k)]
+                       if k > 0 else [])
+    counts = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=n)
+    out = np.full((n, perms), -1, dtype=np.int64)
+    nz = counts > 0
+    if nz.any():
+        flat = [sh for shs in sh_list for sh in shs]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uh = np.empty((len(uniques), perms), dtype=np.int64)
+        for i, sh in enumerate(uniques):
+            uh[i] = _shingle_sig(sh, salts, perms)
+        hs = uh[codes]                       # (total_shingles × perms)
+        bounds = np.zeros(n, dtype=np.int64)
+        bounds[1:] = np.cumsum(counts)[:-1]
+        out[nz] = np.minimum.reduceat(hs, bounds[nz], axis=0)
+    return pd.DataFrame({f"sig{i}": out[:, i] for i in range(perms)})
+
+
+def minhash_arrow(text: Column | str, perms: int, ngram: int) -> Column:
+    """Struct column of :func:`minhash_batch` (one Arrow crossing/batch)."""
+    fields = ", ".join(f"sig{i}: bigint" for i in range(perms))
+
+    @pandas_udf(f"struct<{fields}>")
+    def _f(s: pd.Series) -> pd.DataFrame:
+        return minhash_batch(s, perms, ngram)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _f(c)
+
+
 def _stack_vectors(vecs: pd.Series, dim: int) -> np.ndarray:
     """(n, dim) float64 matrix from a Series of float arrays."""
     return np.array([np.asarray(v, dtype=np.float64) for v in vecs],

@@ -66,6 +66,22 @@ def minhash_signature(sh: Column, perms: int = DEFAULT_PERMS) -> list[Column]:
 
 def with_minhash(docs: DataFrame, text_col: str = "text",
                  perms: int = DEFAULT_PERMS, ngram: int = 3) -> DataFrame:
+    """MinHash signatures — hot path: one Arrow crossing per batch, the
+    whole perm bank vectorized with a unique-shingle memo
+    (:func:`..functions.sketches.minhash_batch`).  The HOF twin below
+    (:func:`with_minhash_hof`) pays ``perms`` interpreted md5 passes per
+    row PLUS the interpreted shingle rebuild — the known pathology."""
+    from ..functions.sketches import minhash_arrow
+    st = minhash_arrow(text_col, perms, ngram)
+    return docs.select("doc_id", st.alias("_s")) \
+        .select("doc_id", *[F.col(f"_s.sig{i}").alias(f"sig{i}")
+                            for i in range(perms)])
+
+
+def with_minhash_hof(docs: DataFrame, text_col: str = "text",
+                     perms: int = DEFAULT_PERMS, ngram: int = 3) -> DataFrame:
+    """Pure-JVM-expression MinHash (interpreted HOFs) — value-identical
+    agreement oracle for :func:`with_minhash`; do not use on hot paths."""
     sh = shingles(tokens_of(text_col), ngram)
     return docs.select("doc_id", *[
         c for c in minhash_signature(sh, perms)])
