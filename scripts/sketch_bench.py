@@ -60,7 +60,10 @@ def synth(spark, n_rows: int, base: str):
 
 def timed(label: str, df, rows: int, results: list):
     t0 = time.time()
-    df.agg(F.count("*"), F.sum(df.columns[-1])).collect()
+    # pmod keeps the probe sum inside int64 under ANSI mode (minhash sigs
+    # are ~2^60; 1M of them overflow a raw SUM)
+    df.agg(F.count("*"),
+           F.sum(F.pmod(F.col(df.columns[-1]), F.lit(1000003)))).collect()
     dt = time.time() - t0
     rate = rows / dt
     row = {"op": label, "rows": rows, "sec": round(dt, 2),
