@@ -76,6 +76,34 @@ def test_minhash_edge_cases(spark):
     assert a[1] != a[5] and all(x >= 0 for x in a[1])
 
 
+def test_shared_span_runs_semantics(spark):
+    """Substring dedup: maximal duplicated token runs, per-diagonal;
+    hand-checkable fixture."""
+    rows = [
+        (1, "a b c d e f g h"),          # 8 tokens
+        (2, "x a b c d e y f g h"),      # shares a..e (5) and f g h (3)
+        (3, "a b c z a b c"),            # two occurrences vs doc 1's one
+        (4, "no overlap here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b, r.start_a, r.start_b): r.span_tokens
+           for r in dedup.shared_span_runs(df, min_tokens=3).collect()}
+    assert got[(1, 2, 0, 1)] == 5        # "a b c d e"
+    assert got[(1, 2, 5, 7)] == 3        # "f g h"
+    # doc1 "a b c" aligns to BOTH occurrences in doc3 (two diagonals)
+    assert got[(1, 3, 0, 0)] == 3 and got[(1, 3, 0, 4)] == 3
+    assert got[(2, 3, 1, 0)] == 3 and got[(2, 3, 1, 4)] == 3
+    assert not any(4 in (a, b) for a, b, *_ in got)
+    # min_tokens gate: at 5, only the long run survives
+    long_only = dedup.shared_span_runs(df, min_tokens=5).collect()
+    assert [(r.doc_a, r.doc_b, r.span_tokens)
+            for r in long_only] == [(1, 2, 5)]
+    # candidates restriction bounds the join (the 100 TB contract)
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    c = dedup.shared_span_runs(df, min_tokens=3, candidates=cand).collect()
+    assert {(r.doc_a, r.doc_b) for r in c} == {(1, 2)}
+
+
 def test_lsh_buckets_arrow_matches_hof(spark, emb):
     a = similarity.lsh_buckets(emb, dim=64, planes=6)
     b = similarity.lsh_buckets_hof(emb, dim=64, planes=6)

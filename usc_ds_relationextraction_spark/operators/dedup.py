@@ -179,6 +179,64 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     return out.where(F.col("jaccard_milli") >= min_jaccard_milli)
 
 
+def shared_span_runs(docs: DataFrame, text_col: str = "text",
+                     ngram: int = 3, min_tokens: int = 5,
+                     candidates: DataFrame | None = None) -> DataFrame:
+    """Exact duplicated-substring spans across documents — the substring
+    member of the dedup family (the span-harvesting semantics of
+    sequence-level training-data dedup: report every duplicated token
+    run, so downstream can mask or drop it, not just flag the doc pair).
+
+    Every MAXIMAL run of consecutive shared ``ngram``-shingles at a fixed
+    alignment offset between two documents is one output row
+    ``(doc_a, doc_b, start_a, start_b, span_tokens)`` with
+    ``span_tokens = run_len + ngram - 1`` (exactly the duplicated token
+    count; spans shorter than ``ngram`` are undetectable by
+    construction).  Emitting all maximal runs keeps the output a
+    deterministic SET — no per-pair argmax tie-break.
+
+    Relational shape (all JVM ops, exact DuckDB oracle):
+      1. shingle-position inverted index (one narrow ``posexplode``);
+      2. self-join on the shingle string (``doc_a < doc_b``);
+      3. same-diagonal (``pos_a − pos_b``) run-length grouping:
+         ``pos_a − row_number()`` over the diagonal window — classic
+         gaps-and-islands, one shuffle on (doc_a, doc_b, diag);
+      4. count per island → span length.
+
+    Scale: pass ``candidates`` (e.g. :func:`lsh_candidate_pairs` output)
+    to bound the quadratic self-join to LSH candidates — the same
+    100 TB contract as :func:`verified_near_dups`; all-pairs via the
+    inverted index is the driver-correctness tier only.
+    """
+    from pyspark.sql import Window
+    sp = docs.select(
+        "doc_id",
+        F.posexplode(shingles(tokens_of(text_col), ngram))
+        .alias("pos", "sh"))
+    a = sp.select(F.col("doc_id").alias("doc_a"),
+                  F.col("pos").alias("pa"), "sh")
+    b = sp.select(F.col("doc_id").alias("doc_b"),
+                  F.col("pos").alias("pb"), "sh")
+    m = a.join(b, on="sh").where(F.col("doc_a") < F.col("doc_b"))
+    if candidates is not None:
+        m = m.join(candidates.select("doc_a", "doc_b").distinct(),
+                   on=["doc_a", "doc_b"], how="leftsemi")
+    m = m.select("doc_a", "doc_b", "pa", "pb",
+                 (F.col("pa") - F.col("pb")).alias("diag"))
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = m.withColumn("run_id", F.col("pa") - F.row_number().over(w)) \
+        .groupBy("doc_a", "doc_b", "diag", "run_id") \
+        .agg(F.count("*").alias("n_sh"),
+             F.min("pa").alias("start_a"),
+             F.min("pb").alias("start_b"))
+    out = runs.select(
+        "doc_a", "doc_b",
+        F.col("start_a").cast("int").alias("start_a"),
+        F.col("start_b").cast("int").alias("start_b"),
+        (F.col("n_sh") + (ngram - 1)).cast("int").alias("span_tokens"))
+    return out.where(F.col("span_tokens") >= min_tokens)
+
+
 def verified_near_dups(docs: DataFrame, text_col: str = "text",
                        perms: int = DEFAULT_PERMS,
                        bands: int = DEFAULT_BANDS, ngram: int = 3,

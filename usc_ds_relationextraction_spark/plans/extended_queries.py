@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, sf, "documents"), min_jaccard_milli=200)
     Q["dedup_pipeline_verified"] = lambda s, sf: dedup.verified_near_dups(
         _t(s, sf, "documents"), min_jaccard_milli=200)
+    Q["dedup_substring_spans"] = lambda s, sf: dedup.shared_span_runs(
+        _t(s, sf, "documents"), min_tokens=5)
     Q["text_langid"] = lambda s, sf: lang_id(_t(s, sf, "documents"))
     Q["text_quality"] = lambda s, sf: quality_metrics(_t(s, sf, "documents"))
     Q["text_token_counts"] = lambda s, sf: token_counts(
@@ -160,6 +162,35 @@ SELECT doc_a, doc_b, i * 1000 // (na.n + nb.n - i) AS jaccard_milli
 FROM inter JOIN sizes na ON doc_a = na.doc_id
            JOIN sizes nb ON doc_b = nb.doc_id
 WHERE i * 1000 // (na.n + nb.n - i) >= 200
+"""
+
+    # substring dedup: maximal shared token runs via the diagonal
+    # gaps-and-islands formulation (ngram=3 -> COUNT(*)+2 tokens)
+    O["dedup_substring_spans"] = f"""WITH {_sql_shingles()},
+sp AS (
+  SELECT doc_id, i - 1 AS pos, sh[i] AS s
+  FROM sh_lists, UNNEST(generate_series(1, len(sh))) AS t(i)
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM sp a JOIN sp b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, diag, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS run_id
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b,
+         CAST(MIN(pa) AS INT) AS start_a,
+         CAST(MIN(pb) AS INT) AS start_b,
+         CAST(COUNT(*) + 2 AS INT) AS span_tokens
+  FROM r GROUP BY doc_a, doc_b, diag, run_id
+)
+SELECT doc_a, doc_b, start_a, start_b, span_tokens
+FROM runs WHERE span_tokens >= 5
 """
 
     # composed pipeline: LSH candidates -> exact Jaccard verify on them
