@@ -21,6 +21,7 @@ HEADLINE = [
     "a3_cooccur_counts", "w4_threshold_sweep", "m11_threshold_tune",
     "dedup_exact", "dedup_minhash", "ann_topk_lsh", "ann_topk_ivf",
     "ann_topk_ivf_nprobe", "f13_dep_features", "s1_reference_replay",
+    "dedup_substring_spans", "p3_span_alignment",
 ]
 
 
