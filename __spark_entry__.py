@@ -492,9 +492,17 @@ _DEPRIORITIZED = [
     "text_token_counts", "doc_fingerprint", "mm_binary_stats",
     "sim_cosine_topk", "dedup_exact", "dedup_ngram_jaccard",
     "a9_label_centroids", "p2_unicode_norm", "p6_lemma",
-    "a1_vocab_encode", "p7_vocab_gate_encode", "dedup_minhash",
+    "a1_vocab_encode", "p7_vocab_gate_encode", "mm_decode_features",
     "p3_span_alignment", "a5_cumulative_table", "j7_centroid_assign",
 ]
+# round-4 curation deltas: dedup_minhash un-deprioritized (Arrow-bank
+# rewrite — its 8 signature columns hash the new kernel directly) with
+# mm_decode_features dropped to the tail in its place (the real-decode
+# twin mm_decode_real leads; the stub variant is the weaker check).
+# p3_span_alignment STAYS in the tail although its implementation
+# changed: the in-window p3_span_alignment_all hashes every occurrence
+# from the same fused hit table, strictly superseding the first-hit
+# projection.
 
 
 # Names guaranteed a slot in the driver's 50-query snapshot: this round's
