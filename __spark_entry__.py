@@ -494,6 +494,7 @@ _DEPRIORITIZED = [
     "a9_label_centroids", "p2_unicode_norm", "p6_lemma",
     "a1_vocab_encode", "p7_vocab_gate_encode", "mm_decode_features",
     "p3_span_alignment", "a5_cumulative_table", "j7_centroid_assign",
+    "dedup_substring_spans",
 ]
 # round-4 curation deltas: dedup_minhash un-deprioritized (Arrow-bank
 # rewrite — its 8 signature columns hash the new kernel directly) with
@@ -502,7 +503,9 @@ _DEPRIORITIZED = [
 # p3_span_alignment STAYS in the tail although its implementation
 # changed: the in-window p3_span_alignment_all hashes every occurrence
 # from the same fused hit table, strictly superseding the first-hit
-# projection.
+# projection.  Likewise dedup_substring_spans (all-pairs tier) yields
+# the window slot to dedup_substring_spans_lsh, which runs the identical
+# runs logic PLUS the candidates bound (the 100 TB shape).
 
 
 # Names guaranteed a slot in the driver's 50-query snapshot: this round's

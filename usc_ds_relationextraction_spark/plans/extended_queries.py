@@ -52,6 +52,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, sf, "documents"), min_jaccard_milli=200)
     Q["dedup_substring_spans"] = lambda s, sf: dedup.shared_span_runs(
         _t(s, sf, "documents"), min_tokens=5)
+
+    def substring_spans_lsh(s, sf):
+        """The 100 TB shape: span extraction bounded to MinHash-LSH
+        candidate pairs (quadratic shingle join only within candidates)."""
+        docs = _t(s, sf, "documents")
+        return dedup.shared_span_runs(
+            docs, min_tokens=5,
+            candidates=dedup.lsh_candidate_pairs(docs))
+    Q["dedup_substring_spans_lsh"] = substring_spans_lsh
     Q["text_langid"] = lambda s, sf: lang_id(_t(s, sf, "documents"))
     Q["text_quality"] = lambda s, sf: quality_metrics(_t(s, sf, "documents"))
     Q["text_token_counts"] = lambda s, sf: token_counts(
@@ -105,6 +114,30 @@ def _sql_shingles() -> str:
             "ELSE CAST([] AS VARCHAR[]) END AS sh FROM doc_toks)")
 
 
+def _sql_lsh_cand() -> str:
+    """sigs → band hashes → distinct LSH candidate pairs (CTE ``cand``) —
+    shared by the pairs oracle and the LSH-bounded substring-span oracle."""
+    r = dedup.DEFAULT_PERMS // dedup.DEFAULT_BANDS
+    band_rows = []
+    for b in range(dedup.DEFAULT_BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(sig{b * r + j} AS VARCHAR)" for j in range(r))
+        h = _h_sql(f"{parts} || '_band{b}'")
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sigs")
+    bands = "\nUNION ALL\n".join(band_rows)
+    return f"""{_sql_minhash_sigs()},
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)"""
+
+
 def _sql_minhash_sigs() -> str:
     parts = []
     for i in range(dedup.DEFAULT_PERMS):
@@ -121,24 +154,8 @@ def oracles() -> dict[str, str]:
 
     O["dedup_minhash"] = f"WITH {_sql_minhash_sigs()}\nSELECT * FROM sigs"
 
-    r = dedup.DEFAULT_PERMS // dedup.DEFAULT_BANDS
-    band_rows = []
-    for b in range(dedup.DEFAULT_BANDS):
-        parts = " || '_' || ".join(
-            f"CAST(sig{b * r + j} AS VARCHAR)" for j in range(r))
-        h = _h_sql(f"{parts} || '_band{b}'")
-        band_rows.append(
-            f"SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sigs")
-    bands = "\nUNION ALL\n".join(band_rows)
-    O["dedup_minhash_pairs"] = f"""WITH {_sql_minhash_sigs()},
-bands AS (
-{bands}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
- AND a.doc_id < b.doc_id
-"""
+    O["dedup_minhash_pairs"] = (f"WITH {_sql_lsh_cand()}\n"
+                                "SELECT doc_a, doc_b FROM cand")
 
     votes = []
     for b in range(N_BITS_SIMHASH):
@@ -193,17 +210,38 @@ SELECT doc_a, doc_b, start_a, start_b, span_tokens
 FROM runs WHERE span_tokens >= 5
 """
 
+    # the 100 TB shape: span extraction bounded to LSH candidate pairs
+    # (sh_lists is shared between the sigs chain and the position index)
+    O["dedup_substring_spans_lsh"] = f"""WITH {_sql_lsh_cand()},
+sp AS (
+  SELECT doc_id, i - 1 AS pos, sh[i] AS s
+  FROM sh_lists, UNNEST(generate_series(1, len(sh))) AS t(i)
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM sp a JOIN sp b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, diag, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS run_id
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b,
+         CAST(MIN(pa) AS INT) AS start_a,
+         CAST(MIN(pb) AS INT) AS start_b,
+         CAST(COUNT(*) + 2 AS INT) AS span_tokens
+  FROM r GROUP BY doc_a, doc_b, diag, run_id
+)
+SELECT doc_a, doc_b, start_a, start_b, span_tokens
+FROM runs WHERE span_tokens >= 5
+"""
+
     # composed pipeline: LSH candidates -> exact Jaccard verify on them
-    O["dedup_pipeline_verified"] = f"""WITH {_sql_minhash_sigs()},
-bands AS (
-{bands}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id
-),
+    O["dedup_pipeline_verified"] = f"""WITH {_sql_lsh_cand()},
 shd AS (SELECT DISTINCT doc_id, s FROM sh_lists, UNNEST(sh) AS u(s)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
 inter AS (
