@@ -90,3 +90,52 @@ def test_alias_index_tokenization_twin():
     assert sorted(idx) == ["a", "c"]
     assert [(a, t) for a, t in idx["a"]] == [("a  b", ["a", "b"]),
                                              ("a d", ["a", "d"])]
+
+
+def _semantics_fixture(spark):
+    turns = spark.createDataFrame(
+        [("c1", 0, ["New", "York", "is", "in", "New", "York"]),
+         ("c1", 1, ["nothing", "here"]),
+         ("c2", 0, ["York", "New"]),
+         ("c2", 1, ["a", "New", "York", "b"]),
+         ("c2", 2, [])],
+        "conv_id string, turn_idx int, toks array<string>")
+    aliases = spark.createDataFrame(
+        [("New York",), ("York",), ("",), ("  ",), ("New York",)],
+        "alias string")
+    return turns, aliases
+
+
+def test_sharded_matches_broadcast_semantics(spark):
+    from usc_ds_relationextraction_spark.operators.spans import (
+        align_spans_broadcast, align_spans_sharded)
+    turns, aliases = _semantics_fixture(spark)
+    assert _rows(align_spans_sharded(turns, aliases)) == \
+        _rows(align_spans_broadcast(turns, aliases))
+
+
+def test_sharded_matches_broadcast_on_fixture(spark):
+    """Giant-dict form ≡ broadcast form row-for-row on the sf0.001
+    corpus (the same agreement contract as fused ≡ HOF)."""
+    from usc_ds_relationextraction_spark.functions.tokenize import tokens_col
+    from usc_ds_relationextraction_spark.operators.spans import (
+        align_spans_broadcast, align_spans_sharded)
+    import __spark_entry__ as e
+    t = e._fx(spark, SF, "transcripts")
+    tt = t.select("conv_id", "turn_idx", tokens_col("text").alias("toks"))
+    al = e._fx(spark, SF, "kb_aliases")
+    a = _rows(align_spans_sharded(tt, al))
+    b = _rows(align_spans_broadcast(tt, al))
+    assert a and a == b
+
+
+def test_align_spans_chooser(spark):
+    """limit=0 forces every dim over the broadcast bound -> sharded path
+    (no driver collect of the dim); default limit keeps broadcast."""
+    from usc_ds_relationextraction_spark.operators import spans as sp
+    turns, aliases = _semantics_fixture(spark)
+    want = _rows(sp.align_spans_broadcast(turns, aliases))
+    got = _rows(sp.align_spans(turns, aliases, broadcast_row_limit=0))
+    assert got == want
+    got2 = _rows(sp.align_spans(turns, aliases))
+    assert got2 == want

@@ -80,16 +80,19 @@ def scan_tokens(row: list[str],
     return list(found.items())
 
 
-def align_spans(turns: DataFrame, alias_df: DataFrame,
-                toks_col: str = "toks",
-                alias_col: str = "alias") -> DataFrame:
+def align_spans_broadcast(turns: DataFrame, alias_df: DataFrame,
+                          toks_col: str = "toks",
+                          alias_col: str = "alias") -> DataFrame:
     """(conv_id, turn_idx, toks) x alias dim -> one row per (turn, alias)
     with ``hits`` = every 1-based start of the alias token-subsequence.
 
     The alias dimension is collected to the driver and shipped as a
     broadcast variable into the UDF closure — dictionary-scale by
     contract (a KB alias list does not grow with the corpus).  The scan
-    itself is a narrow map: no shuffle, no join.
+    itself is a narrow map: no shuffle, no join.  Callers that cannot
+    guarantee the dictionary contract should go through
+    :func:`align_spans`, which probes the dimension (bounded job) and
+    falls over to :func:`align_spans_sharded` above the broadcast limit.
     """
     alias_rows = [r[0] for r in
                   alias_df.select(alias_col).distinct().collect()]
@@ -111,3 +114,102 @@ def align_spans(turns: DataFrame, alias_df: DataFrame,
     ).select("conv_id", "turn_idx",
              F.col("m.alias").alias("alias"),
              F.col("m.hits").alias("hits"))
+
+
+def _alias_index_table(alias_df: DataFrame, alias_col: str) -> DataFrame:
+    """Distinct aliases as a join-able index table:
+    (alias, atoks, tok0) with the same whitespace-split-drop-empties
+    tokenization as the broadcast form (``tokenize.tokens_col``)."""
+    from ..functions.tokenize import tokens_col
+    return (alias_df.select(F.col(alias_col).alias("alias")).distinct()
+            .withColumn("atoks", tokens_col("alias"))
+            .where(F.size("atoks") > 0)
+            .withColumn("tok0", F.element_at("atoks", 1)))
+
+
+def align_spans_sharded(turns: DataFrame, alias_df: DataFrame,
+                        toks_col: str = "toks",
+                        alias_col: str = "alias",
+                        max_alias_tokens: int | None = None) -> DataFrame:
+    """Giant-dictionary form of :func:`align_spans_broadcast` — same hit
+    table, NO driver collect and NO broadcast of the alias dimension.
+
+    Shape (the 1e8-alias regime where a pickled dict cannot ship):
+
+      1. ``posexplode`` each turn into (conv_id, turn_idx, pos, token)
+         plus the ``kmax``-token window starting at pos — kmax is the
+         longest alias token length, probed with one tiny agg job, so
+         the exploded fact row carries O(kmax) tokens, NOT the whole
+         turn (avoids the O(L) per-position array blow-up in the join
+         shuffle).
+      2. equi-join on token == first alias token.  First-token keys are
+         near-uniform dictionary keys; any hub token ("the", tool
+         names) is exactly the AQE-skew-join / salting case that
+         ``operators/skew.py`` documents — we leave the join a plain
+         shuffle equi-join so AQE can split hot partitions at runtime.
+      3. verify each candidate with the built-in
+         ``slice(window, 1, size(atoks)) = atoks`` comparison —
+         whole-stage-codegen, no Python.
+      4. groupBy (turn, alias) → ``sort_array(collect_list(pos))`` =
+         ascending 1-based hits, identical to the broadcast form.
+
+    Cost: one bounded agg (kmax), one join shuffle on slim exploded
+    rows, one groupBy shuffle on candidate-scale rows.  Linear in
+    corpus size, independent of dictionary size past the index build.
+    """
+    idx = _alias_index_table(alias_df, alias_col)
+    if max_alias_tokens is None:
+        max_alias_tokens = idx.agg(
+            F.max(F.size("atoks"))).collect()[0][0] or 1
+    toks = F.col(toks_col)
+    ex = turns.select(
+        "conv_id", "turn_idx",
+        F.posexplode(toks).alias("pos0", "tok0"),
+        # the only tokens the verifier can ever need: [pos, pos+kmax)
+        F.expr(f"slice({toks_col}, pos0 + 1, {int(max_alias_tokens)})")
+         .alias("win"),
+    )
+    cand = ex.join(idx, on="tok0")
+    ver = cand.where(F.expr("slice(win, 1, size(atoks)) = atoks"))
+    return (ver.groupBy("conv_id", "turn_idx", "alias")
+            .agg(F.sort_array(
+                F.collect_list((F.col("pos0") + 1).cast("int")))
+                .alias("hits")))
+
+
+# Same driver-process memo pattern as skew.adaptive_dim_join: probing the
+# alias dimension is a bounded job (limit(N+1).count() scans ≤ N+1 rows),
+# paid once per analyzed plan, not once per align_spans construction.
+_SPAN_PROBE_CACHE: dict = {}
+
+
+def align_spans(turns: DataFrame, alias_df: DataFrame,
+                toks_col: str = "toks",
+                alias_col: str = "alias",
+                broadcast_row_limit: int | None = None) -> DataFrame:
+    """Self-selecting P3 span alignment (the J1 ``adaptive_dim_join``
+    pattern applied to the scan): dictionary-scale alias dims take the
+    broadcast fused Arrow scan (narrow map, no shuffle); above the
+    broadcast limit the sharded first-token-index join takes over, so a
+    non-dictionary-scale alias_df can no longer OOM the driver — the
+    probe reads at most limit+1 rows whatever the dimension's true size.
+
+    ``tests/test_spans.py`` asserts broadcast ≡ sharded row-for-row and
+    that the chooser picks each side at the intended sizes.
+    """
+    from .skew import BROADCAST_ROW_LIMIT
+    if broadcast_row_limit is None:
+        broadcast_row_limit = BROADCAST_ROW_LIMIT
+    try:
+        key = (alias_df._jdf.queryExecution().analyzed().semanticHash(),
+               broadcast_row_limit)
+    except Exception:
+        key = (str(alias_df._jdf.queryExecution().analyzed()),
+               broadcast_row_limit)
+    probe = _SPAN_PROBE_CACHE.get(key)
+    if probe is None:
+        probe = alias_df.limit(broadcast_row_limit + 1).count()
+        _SPAN_PROBE_CACHE[key] = probe
+    if probe <= broadcast_row_limit:
+        return align_spans_broadcast(turns, alias_df, toks_col, alias_col)
+    return align_spans_sharded(turns, alias_df, toks_col, alias_col)
