@@ -473,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q.update(kg_materialize.queries())
     from usc_ds_relationextraction_spark.plans import gate_round4
     Q.update(gate_round4.queries())
+    from usc_ds_relationextraction_spark.plans import gate_round5
+    Q.update(gate_round5.queries())
     return _curated(Q)
 
 
@@ -511,6 +513,7 @@ _DEPRIORITIZED = [
 # Names guaranteed a slot in the driver's 50-query snapshot: this round's
 # new gate entries plus the training-epoch and kg_* families.
 _LEAD = [
+    "s4_edge_list_roundtrip",
     "m4_objective_mix", "m5_lr_schedule", "m6_rm_bcd_epoch",
     "s7_embedding_roundtrip", "s8_prediction_roundtrip", "m9_nb_vote",
     "s2_stream_triples",
@@ -776,4 +779,6 @@ FROM (
     O.update(kg_materialize.oracles())
     from usc_ds_relationextraction_spark.plans import gate_round4
     O.update(gate_round4.oracles())
+    from usc_ds_relationextraction_spark.plans import gate_round5
+    O.update(gate_round5.oracles())
     return O
