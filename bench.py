@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -54,6 +55,42 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _loadavg() -> float:
+    with open("/proc/loadavg") as fh:
+        return float(fh.read().split()[0])
+
+
+class LoadSampler:
+    """Samples 1-min loadavg every 5s (first sample immediate) for the
+    contention stamp — same mechanical signal scaling_bench.py uses.
+    Ambient co-tenant load on this host swings totals ±15-35% (round-4's
+    21.76s-vs-16.29s ambiguity); a loadavg trace above the bench's own
+    core budget marks the run as contended, not authoritative."""
+
+    def __init__(self) -> None:
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while True:
+            self.samples.append(_loadavg())
+            if self._stop.wait(5.0):
+                return
+
+    def __enter__(self) -> "LoadSampler":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=6.0)
+
+    @property
+    def peak(self) -> float:
+        return max(self.samples) if self.samples else 0.0
+
+
 def main() -> None:
     tag = os.path.basename(os.path.normpath(SF_DIR))
     sf = float(tag.replace("sf", "")) if tag.startswith("sf") else 0.1
@@ -66,14 +103,21 @@ def main() -> None:
     qs = entrymod.queries()
     force(qs["a4_weighted_degree"](spark, SF_DIR))  # warm-up
 
+    load_before = _loadavg()
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(REPEATS):
-            t0 = time.time()
-            force(qs[name](spark, SF_DIR))  # fresh plan per repeat
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+    with LoadSampler() as sampler:
+        for name in HEADLINE:
+            best = float("inf")
+            for _ in range(REPEATS):
+                t0 = time.time()
+                force(qs[name](spark, SF_DIR))  # fresh plan per repeat
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 3)
+    # the suite's own budget is one local[CPUS] JVM (+25% slack for
+    # service threads); loadavg past that, or a pre-existing load above
+    # half the core count, means something external shared the cores.
+    load_budget = CPUS * 1.25
+    contended = sampler.peak > load_budget or load_before > CPUS / 2
 
     # throughput extras: triples/sec and turns/sec through the full path
     n_triples = qs["triples_ds"](spark, SF_DIR).count()
@@ -91,6 +135,12 @@ def main() -> None:
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / max(times["triples_ds"], 1e-9), 1),
         "turns_per_sec": round(n_turns / max(times["triples_ds"], 1e-9), 1),
+        "loadavg_before": load_before,
+        "loadavg_peak_during": round(sampler.peak, 2),
+        "loadavg_samples": len(sampler.samples),
+        "loadavg_budget": load_budget,
+        "contended": contended,
+        "authoritative": not contended,
     }
     spark.stop()
     print(json.dumps(out))
