@@ -68,9 +68,8 @@ def test_minhash_edge_cases(spark):
     a = {r.doc_id: tuple(r)[1:] for r in dedup.with_minhash(df).collect()}
     b = {r.doc_id: tuple(r)[1:]
          for r in dedup.with_minhash_hof(df).collect()}
-    # HOF yields NULL sigs for null text (split(NULL)); Arrow normalizes
-    # to -1 — both mean "no shingles", same as the simhash twin contract
-    b = {k: tuple(-1 if x is None else x for x in v) for k, v in b.items()}
+    # strict identity, null text included (the HOF twin coalesces null
+    # text to '' so both forms emit -1 sigs — no normalization needed)
     assert a == b
     assert all(x == -1 for x in a[2] + a[3] + a[4])
     assert a[1] != a[5] and all(x >= 0 for x in a[1])

@@ -97,55 +97,64 @@ def simhash_arrow(text: Column | str, bits: int = 16) -> Column:
     return _f(c)
 
 
-# (shingle, perms) -> int64[perms] signature vector.  Bounded like the
-# token memo; amortizes the perms md5 calls per unique shingle across
-# batches on long-lived workers.
-_SHINGLE_MEMO: dict[tuple[str, int], np.ndarray] = {}
-_SHINGLE_MEMO_CAP = 1 << 19
-
-
-def _shingle_sig(sh: str, salts: list[str], perms: int) -> np.ndarray:
-    key = (sh, perms)
-    v = _SHINGLE_MEMO.get(key)
-    if v is None:
-        v = np.fromiter(
-            (int(hashlib.md5((sh + s).encode("utf-8")).hexdigest()[:15], 16)
-             for s in salts), dtype=np.int64, count=perms)
-        if len(_SHINGLE_MEMO) < _SHINGLE_MEMO_CAP:
-            _SHINGLE_MEMO[key] = v
-    return v
-
-
 def minhash_batch(texts: pd.Series, perms: int, ngram: int) -> pd.DataFrame:
     """Vectorized MinHash signatures over word n-gram shingles.
 
     Value-identical to the HOF/SQL form (``operators/dedup``): per perm
-    ``i``, min over shingles of ``h64(shingle || '|mh{i}')``; docs with
-    no shingle (short/empty/null text) sign as -1.  The batch hashes only
-    UNIQUE shingles (factorize) — the HOF form re-derives every shingle
-    and pays ``perms`` interpreted md5 passes per row.
+    ``i``, min over shingle windows of ``mix_i(shg(window))`` where the
+    shingle hash is the token-rolling combine of per-token md5 hashes
+    (:func:`..functions.hashing.shingle_coeffs`) and ``mix_i`` the affine
+    permutation (:func:`..functions.hashing.minhash_mix_consts`).  md5
+    runs ONCE per unique TOKEN in the batch (factorize + cross-batch
+    memo); shingle construction, the perm bank, and the per-row minima
+    are all vectorized int64 — no per-shingle Python, no string joins.
+    Docs with no shingle (short/empty/null text) sign as -1.
     """
-    salts = [f"|mh{i}" for i in range(perms)]
+    from .hashing import (MASK30, MASK60, minhash_mix_consts,
+                          shingle_coeffs)
+    ab = minhash_mix_consts(perms)
+    A = np.array([a for a, _ in ab], dtype=np.int64)
+    B = np.array([b for _, b in ab], dtype=np.int64)
+    C = shingle_coeffs(ngram)
     n = len(texts)
-    sh_list: list[list[str]] = []
+    tok_lists: list[list[str]] = []
     for t in texts:
-        toks = [x for x in t.split(" ") if x] if isinstance(t, str) else []
-        k = len(toks) - (ngram - 1)
-        sh_list.append([" ".join(toks[i:i + ngram]) for i in range(k)]
-                       if k > 0 else [])
-    counts = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=n)
+        tok_lists.append([x for x in t.split(" ") if x]
+                         if isinstance(t, str) else [])
+    counts = np.fromiter((len(tk) for tk in tok_lists), dtype=np.int64,
+                         count=n)
     out = np.full((n, perms), -1, dtype=np.int64)
-    nz = counts > 0
+    scounts = np.maximum(counts - (ngram - 1), 0)
+    nz = scounts > 0
+    total = int(counts.sum())
     if nz.any():
-        flat = [sh for shs in sh_list for sh in shs]
+        flat = [tok for tk in tok_lists for tok in tk]
         codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-        uh = np.empty((len(uniques), perms), dtype=np.int64)
-        for i, sh in enumerate(uniques):
-            uh[i] = _shingle_sig(sh, salts, perms)
-        hs = uh[codes]                       # (total_shingles × perms)
+        uh = np.fromiter((_h64_token(tok) for tok in uniques),
+                         dtype=np.int64, count=len(uniques))
+        th = uh[codes]                       # flat token hashes
+
+        def mul60(h: np.ndarray, c: int) -> np.ndarray:
+            # (h·c) mod 2**60 via the split product: every term < 2**60,
+            # the 2-term sum < 2**61 — exact in int64
+            return (((h & MASK30) * c
+                     + (((h >> 30) * c) & MASK30) * (1 << 30)) & MASK60)
+
+        # token-rolling shingle hash at every flat window, then drop
+        # windows that straddle a row boundary
+        L = total - (ngram - 1)
+        sh = np.zeros(L, dtype=np.int64)
+        for j, c in enumerate(C):
+            sh = (sh + mul60(th[j:j + L], c)) & MASK60
+        row_of = np.repeat(np.arange(n), counts)
+        sh = sh[row_of[:L] == row_of[ngram - 1:]]  # row-sorted survivors
+        lo, hi = sh & MASK30, sh >> 30
+        mixed = ((lo[:, None] * A[None, :]
+                  + ((hi[:, None] * A[None, :]) & MASK30) * (1 << 30)
+                  + B[None, :]) & MASK60)
         bounds = np.zeros(n, dtype=np.int64)
-        bounds[1:] = np.cumsum(counts)[:-1]
-        out[nz] = np.minimum.reduceat(hs, bounds[nz], axis=0)
+        bounds[1:] = np.cumsum(scounts)[:-1]
+        out[nz] = np.minimum.reduceat(mixed, bounds[nz], axis=0)
     return pd.DataFrame({f"sig{i}": out[:, i] for i in range(perms)})
 
 

@@ -124,6 +124,21 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     grams = F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {gram - 1}, 1)),"
         f" i -> substring({text_col}, i, {gram}))")
-    from ..operators.dedup import _salted_min
     cols = [_salted_min(grams, f"|fp{j}").alias(f"fp{j}") for j in range(k)]
     return docs.select("doc_id", *cols)
+
+
+def _salted_min(grams: Column, salt: str) -> Column:
+    """min over grams of ``h64(gram || salt)``; -1 when no grams.  (Was
+    the MinHash permutation family; MinHash itself moved to the affine
+    token-hash mix — ``operators/dedup.py`` — but the char-gram
+    fingerprint keeps the salted form: its gram count per doc is O(len)
+    with no perms×grams blow-up, and the DuckDB oracle mirrors it.)
+
+    CAUTION: HOF lambdas must take exactly the declared arity — an extra
+    default-arg parameter makes PySpark bind it to the element-index
+    column.  Close over the salt via this helper instead."""
+    def f(s: Column) -> Column:
+        return h64(F.concat(s, F.lit(salt)))
+    return F.coalesce(F.array_min(F.transform(grams, f)),
+                      F.lit(-1).cast("bigint"))

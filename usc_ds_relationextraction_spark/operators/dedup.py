@@ -28,7 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import h64
+from ..functions.hashing import (MASK30, MASK60, h64, minhash_mix_consts,
+                                 shingle_coeffs)
 
 DEFAULT_PERMS = 8
 DEFAULT_BANDS = 4  # rows-per-band = perms/bands
@@ -49,19 +50,55 @@ def shingles(toks: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _salted_min(sh: Column, salt: str) -> Column:
-    """CAUTION: HOF lambdas must take exactly the declared arity — an extra
-    default-arg parameter makes PySpark bind it to the element-index
-    column.  Close over the salt via this helper instead."""
-    def f(s: Column) -> Column:
-        return h64(F.concat(s, F.lit(salt)))
-    return F.coalesce(F.array_min(F.transform(sh, f)),
-                      F.lit(-1).cast("bigint"))
+def _mix60(h: Column, a: int, b: int = 0) -> Column:
+    """``(h·a + b) mod 2**60`` via the int64-safe split product — the
+    engine-portable MinHash arithmetic
+    (:func:`..functions.hashing.minhash_mix_consts`)."""
+    m30, m60 = F.lit(MASK30), F.lit(MASK60)
+    return (h.bitwiseAND(m30) * F.lit(a)
+            + (F.shiftright(h, 30) * F.lit(a)).bitwiseAND(m30)
+            * F.lit(1 << 30)
+            + F.lit(b)).bitwiseAND(m60)
 
 
-def minhash_signature(sh: Column, perms: int = DEFAULT_PERMS) -> list[Column]:
-    """One min-hash per 'permutation' (salted portable hash)."""
-    return [_salted_min(sh, f"|mh{i}").alias(f"sig{i}") for i in range(perms)]
+def shingle_hashes(toks: Column, ngram: int = 3) -> Column:
+    """Token-rolling shingle hashes (bigint array; empty when too short):
+    per window, ``(Σ_j h64(t_j)·C_j) mod 2**60`` — md5 per TOKEN, not per
+    joined shingle string (:func:`..functions.hashing.shingle_coeffs`)."""
+    coeffs = shingle_coeffs(ngram)
+    hs = F.transform(toks, lambda t: h64(t))
+
+    def win(i: Column) -> Column:
+        # CAUTION: HOF lambdas must take exactly the declared arity — an
+        # extra default-arg parameter makes PySpark bind it to the
+        # element-index column.  Close over coeffs instead.
+        acc = None
+        for j, c in enumerate(coeffs):
+            term = _mix60(F.element_at(hs, i + F.lit(j)), c)
+            acc = term if acc is None else \
+                (acc + term).bitwiseAND(F.lit(MASK60))
+        return acc
+
+    k = F.size(toks) - (ngram - 1)
+    return F.when(k > 0, F.transform(F.sequence(F.lit(1), k), win)) \
+        .otherwise(F.array().cast("array<bigint>"))
+
+
+def minhash_signature(shg: Column,
+                      perms: int = DEFAULT_PERMS) -> list[Column]:
+    """One min-hash per permutation over a :func:`shingle_hashes` array
+    (affine mix, -1 when no shingles)."""
+    return [
+        F.coalesce(
+            F.array_min(F.transform(shg, _mix_closure(a, b))),
+            F.lit(-1).cast("bigint")).alias(f"sig{i}")
+        for i, (a, b) in enumerate(minhash_mix_consts(perms))]
+
+
+def _mix_closure(a: int, b: int):
+    def f(h: Column) -> Column:
+        return _mix60(h, a, b)
+    return f
 
 
 def with_minhash(docs: DataFrame, text_col: str = "text",
@@ -81,10 +118,13 @@ def with_minhash(docs: DataFrame, text_col: str = "text",
 def with_minhash_hof(docs: DataFrame, text_col: str = "text",
                      perms: int = DEFAULT_PERMS, ngram: int = 3) -> DataFrame:
     """Pure-JVM-expression MinHash (interpreted HOFs) — value-identical
-    agreement oracle for :func:`with_minhash`; do not use on hot paths."""
-    sh = shingles(tokens_of(text_col), ngram)
+    agreement oracle for :func:`with_minhash`; do not use on hot paths.
+    Null text coalesces to '' so the no-shingle contract (-1 sigs)
+    matches the Arrow form exactly, null input included."""
+    shg = shingle_hashes(
+        tokens_of(F.coalesce(F.col(text_col), F.lit(""))), ngram)
     return docs.select("doc_id", *[
-        c for c in minhash_signature(sh, perms)])
+        c for c in minhash_signature(shg, perms)])
 
 
 def band_hashes(sig_df: DataFrame, perms: int = DEFAULT_PERMS,
@@ -229,8 +269,12 @@ def shared_span_runs(docs: DataFrame, text_col: str = "text",
         # the corpus-wide shingle-collision cross product (birthday-scale
         # at millions of shingles) before discarding non-candidates —
         # measured 44× slower at 200k docs.
-        cand = candidates.select("doc_a", "doc_b").distinct() \
-            .where(F.col("doc_a") < F.col("doc_b"))
+        # normalize to doc_a < doc_b (a caller handing (b, a)-ordered
+        # pairs must not silently lose spans); self-pairs drop out
+        cand = candidates.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b")) \
+            .where(F.col("doc_a") < F.col("doc_b")).distinct()
         m = cand.join(a, on="doc_a").join(b, on=["doc_b", "sh"])
     else:
         m = a.join(b, on="sh").where(F.col("doc_a") < F.col("doc_b"))

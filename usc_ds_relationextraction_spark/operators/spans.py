@@ -94,8 +94,19 @@ def align_spans_broadcast(turns: DataFrame, alias_df: DataFrame,
     :func:`align_spans`, which probes the dimension (bounded job) and
     falls over to :func:`align_spans_sharded` above the broadcast limit.
     """
-    alias_rows = [r[0] for r in
-                  alias_df.select(alias_col).distinct().collect()]
+    from .skew import BROADCAST_ROW_LIMIT
+    # fail fast instead of OOMing the driver on a non-dictionary-scale
+    # dimension: take() is bounded (reads at most limit+1 rows) — a
+    # caller that trips this wants align_spans / align_spans_sharded
+    hard_cap = BROADCAST_ROW_LIMIT * 4
+    probe = alias_df.select(alias_col).distinct()
+    rows = probe.take(hard_cap + 1)
+    if len(rows) > hard_cap:
+        raise ValueError(
+            f"align_spans_broadcast: alias dimension exceeds the "
+            f"driver-collect cap ({hard_cap} distinct aliases) — use "
+            f"align_spans (adaptive) or align_spans_sharded")
+    alias_rows = [r[0] for r in rows]
     sc = turns.sparkSession.sparkContext
     bc = sc.broadcast(build_alias_index(alias_rows))
 

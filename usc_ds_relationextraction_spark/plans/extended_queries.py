@@ -126,7 +126,16 @@ def _sql_lsh_cand() -> str:
         band_rows.append(
             f"SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sigs")
     bands = "\nUNION ALL\n".join(band_rows)
+    tri = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+    # string-shingle lists for downstream span oracles (the sigs chain is
+    # now token-hash based and no longer carries them; unused CTEs are
+    # pruned by DuckDB, so the pairs-only oracle pays nothing)
+    sh_lists = ("sh_lists AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+                f"list_transform(generate_series(1, len(toks) - 2), "
+                f"i -> {tri}) "
+                "ELSE CAST([] AS VARCHAR[]) END AS sh FROM doc_toks)")
     return f"""{_sql_minhash_sigs()},
+{sh_lists},
 bands AS (
 {bands}
 ),
@@ -139,14 +148,31 @@ cand AS (
 
 
 def _sql_minhash_sigs() -> str:
+    """Token-rolling shingle hashes (md5 per TOKEN, integer window
+    combine) then the per-perm affine mix — the same split-product int64
+    forms the Arrow bank and the Spark HOF twin evaluate
+    (:func:`...functions.hashing.shingle_coeffs` /
+    :func:`...functions.hashing.minhash_mix_consts`)."""
+    from ..functions.hashing import (MASK60, minhash_mix_consts,
+                                     minhash_mix_sql, shingle_coeffs)
+    coeffs = shingle_coeffs(3)
+    terms = " + ".join(
+        minhash_mix_sql("th[i + " + str(j) + "]", c)
+        for j, c in enumerate(coeffs))
     parts = []
-    for i in range(dedup.DEFAULT_PERMS):
-        h = _h_sql(f"s || '|mh{i}'")
-        parts.append(f"coalesce(list_min(list_transform(sh, s -> "
-                     f"{h})), -1) AS sig{i}")
+    for i, (a, b) in enumerate(minhash_mix_consts(dedup.DEFAULT_PERMS)):
+        mix = minhash_mix_sql("h", a, b)
+        parts.append(f"coalesce(list_min(list_transform(hs, h -> "
+                     f"{mix})), -1) AS sig{i}")
     sigs = ",\n       ".join(parts)
-    return (f"{_sql_shingles()},\n"
-            f"sigs AS (SELECT doc_id,\n       {sigs}\n  FROM sh_lists)")
+    return (f"{_sql_doc_toks()},\n"
+            f"tok_h AS (SELECT doc_id, list_transform(toks, t -> "
+            f"{_h_sql('t')}) AS th FROM doc_toks),\n"
+            f"sh_h AS (SELECT doc_id, CASE WHEN len(th) >= 3 THEN "
+            f"list_transform(generate_series(1, len(th) - 2), i -> "
+            f"(({terms}) & {MASK60})) ELSE CAST([] AS BIGINT[]) END AS hs "
+            f"FROM tok_h),\n"
+            f"sigs AS (SELECT doc_id,\n       {sigs}\n  FROM sh_h)")
 
 
 def oracles() -> dict[str, str]:

@@ -257,6 +257,9 @@ FROM norm WHERE sn > {S8_THRESHOLD!r}
 # plans/baselines.py and M10 (evaluation.py:82-111).
 M9_SPLIT_MOD = 5          # every 5th mention (by portable hash) is test
 M9_CLASS_CAP = 1000       # injective-fold bound, as SO5
+M9_VOTE_SCALE = 1000      # prior-normalization fixed-point scale; kept
+#                           small so votes·M9_CLASS_CAP fits int64 at
+#                           10^12-mention corpus scale (see m9_nb_vote)
 
 
 def m9_nb_vote(spark: SparkSession, sf: str) -> DataFrame:
@@ -296,8 +299,14 @@ def m9_nb_vote(spark: SparkSession, sf: str) -> DataFrame:
     votes = test.join(stats, "feature") \
         .groupBy("k", "cls").agg(F.sum("cnt").alias("raw_votes")) \
         .join(F.broadcast(classes), "cls") \
-        .withColumn("votes",
-                    F.expr("raw_votes * 1000000 div n_c"))
+        .withColumn("votes", F.expr(
+            # floor(raw·S/n) computed divide-FIRST via r = q·n + m ⇒
+            # q·S + floor(m·S/n): raw_votes*S directly would overflow
+            # int64 (ANSI error) at corpus-scale structural-feature
+            # counts.  Bound: raw ≤ 10^12 mentions ⇒ q·S ≤ 10^15 and the
+            # fold's further ×M9_CLASS_CAP stays ≤ 10^18 < 2^63.
+            f"(raw_votes div n_c) * {M9_VOTE_SCALE}"
+            f" + ((raw_votes % n_c) * {M9_VOTE_SCALE}) div n_c"))
     fold = (F.col("votes") * M9_CLASS_CAP
             + (M9_CLASS_CAP - 1 - F.col("cls_id")))
     pred = votes.groupBy("k").agg(
@@ -348,7 +357,9 @@ raw AS (
 ),
 votes AS (
   SELECT raw.k, raw.cls, c.cls_id,
-         CAST(raw.raw_votes * 1000000 // c.n_c AS BIGINT) AS votes
+         CAST((raw.raw_votes // c.n_c) * {M9_VOTE_SCALE}
+              + ((raw.raw_votes % c.n_c) * {M9_VOTE_SCALE}) // c.n_c
+              AS BIGINT) AS votes
   FROM raw JOIN classes c ON raw.cls = c.cls
 ),
 pred AS (
