@@ -103,6 +103,27 @@ def test_shared_span_runs_semantics(spark):
     assert {(r.doc_a, r.doc_b) for r in c} == {(1, 2)}
 
 
+def test_mask_shared_spans(spark):
+    """Masking consumer: doc_b drops the duplicated runs, doc_a keeps
+    the canonical copy, untouched docs pass through verbatim."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x a b c d e y f g h"),      # doc_b of (1,2): masks a..e + fgh
+        (4, "no overlap here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_masked)
+           for r in dedup.mask_shared_spans(df, min_tokens=3).collect()}
+    assert got[1] == ("a b c d e f g h", 0)          # canonical copy kept
+    assert got[2] == ("x y", 8)                      # both runs dropped
+    assert got[4] == ("no overlap here at all", 0)   # untouched
+    # unordered candidate pairs are normalized, not dropped
+    cand = spark.createDataFrame([(2, 1)], "doc_a long, doc_b long")
+    got_c = {r.doc_id: r.n_masked for r in dedup.mask_shared_spans(
+        df, min_tokens=3, candidates=cand).collect()}
+    assert got_c[2] == 8 and got_c[1] == 0
+
+
 def test_lsh_buckets_arrow_matches_hof(spark, emb):
     a = similarity.lsh_buckets(emb, dim=64, planes=6)
     b = similarity.lsh_buckets_hof(emb, dim=64, planes=6)

@@ -331,6 +331,44 @@ def verified_near_dups(docs: DataFrame, text_col: str = "text",
     return out.where(F.col("jaccard_milli") >= min_jaccard_milli)
 
 
+def mask_shared_spans(docs: DataFrame, text_col: str = "text",
+                      ngram: int = 3, min_tokens: int = 5,
+                      candidates: DataFrame | None = None) -> DataFrame:
+    """The masking CONSUMER of :func:`shared_span_runs` — sequence-level
+    dedup's output transform: every doc keeps its text except the
+    duplicated token runs, which are dropped from the HIGHER-id side of
+    each pair (``doc_b``; ``doc_a`` keeps one canonical copy, so shared
+    content survives exactly once corpus-wide for a duplicated pair).
+
+    Returns ``(doc_id, clean_text, n_masked)`` for EVERY input doc —
+    ``clean_text`` is the space-rejoin of the surviving tokens (identical
+    to the original tokenization for the untouched majority),
+    ``n_masked`` the count of dropped token positions.
+
+    Scale shape: the mask table only carries docs that appear as
+    ``doc_b`` in a qualifying span — a small fraction of the corpus — so
+    the left join is broadcast-able and the untouched majority never
+    shuffles; the per-row mask filter is one bounded HOF over the mask
+    array (mask arrays are span-bounded, not corpus-bounded).  Pass
+    ``candidates`` (LSH pairs) exactly as for :func:`shared_span_runs`.
+    """
+    spans = shared_span_runs(docs, text_col, ngram, min_tokens, candidates)
+    masks = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.explode(F.sequence(
+            "start_b",
+            F.col("start_b") + F.col("span_tokens") - F.lit(1))).alias("pos")
+    ).groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("pos")).alias("mask"))
+    toks = tokens_of(text_col)
+    kept = F.when(F.col("mask").isNull(), toks).otherwise(
+        F.filter(toks, lambda t, i: ~F.array_contains(F.col("mask"), i)))
+    return docs.join(masks, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.array_join(kept, " "), F.lit("")).alias("clean_text"),
+        F.coalesce(F.size("mask"), F.lit(0)).cast("int").alias("n_masked"))
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.groupBy(F.md5(text_col).alias("content_hash")).agg(
         F.min("doc_id").alias("canonical_id"),

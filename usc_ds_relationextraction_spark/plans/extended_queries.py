@@ -61,6 +61,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, min_tokens=5,
             candidates=dedup.lsh_candidate_pairs(docs))
     Q["dedup_substring_spans_lsh"] = substring_spans_lsh
+
+    def mask_spans(s, sf):
+        """Span harvest → mask: the sequence-level dedup consumer (keeps
+        one canonical copy per duplicated run, LSH-bounded)."""
+        docs = _t(s, sf, "documents")
+        return dedup.mask_shared_spans(
+            docs, min_tokens=5,
+            candidates=dedup.lsh_candidate_pairs(docs))
+    Q["dedup_mask_spans"] = mask_spans
     Q["text_langid"] = lambda s, sf: lang_id(_t(s, sf, "documents"))
     Q["text_quality"] = lambda s, sf: quality_metrics(_t(s, sf, "documents"))
     Q["text_token_counts"] = lambda s, sf: token_counts(
@@ -264,6 +273,56 @@ runs AS (
 )
 SELECT doc_a, doc_b, start_a, start_b, span_tokens
 FROM runs WHERE span_tokens >= 5
+"""
+
+    # span harvest -> mask (doc_b side drops the duplicated runs; one
+    # canonical copy survives on doc_a).  Same runs chain as above.
+    O["dedup_mask_spans"] = f"""WITH {_sql_lsh_cand()},
+sp AS (
+  SELECT doc_id, i - 1 AS pos, sh[i] AS s
+  FROM sh_lists, UNNEST(generate_series(1, len(sh))) AS t(i)
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM sp a JOIN sp b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, diag, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS run_id
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, MIN(pb) AS start_b,
+         CAST(COUNT(*) + 2 AS INT) AS span_tokens
+  FROM r GROUP BY doc_a, doc_b, diag, run_id
+),
+maskpos AS (
+  SELECT DISTINCT doc_b AS doc_id, start_b + i AS pos
+  FROM runs, UNNEST(generate_series(0, span_tokens - 1)) AS t(i)
+  WHERE span_tokens >= 5
+),
+tok AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+  FROM doc_toks, UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+kept AS (
+  SELECT t.doc_id,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+  FROM tok t LEFT JOIN maskpos mp
+    ON t.doc_id = mp.doc_id AND t.pos = mp.pos
+  WHERE mp.doc_id IS NULL
+  GROUP BY t.doc_id
+),
+nm AS (SELECT doc_id, COUNT(*) AS n FROM maskpos GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       CAST(coalesce(nm.n, 0) AS INT) AS n_masked
+FROM documents d
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+LEFT JOIN nm ON d.doc_id = nm.doc_id
 """
 
     # composed pipeline: LSH candidates -> exact Jaccard verify on them
