@@ -63,3 +63,59 @@ def test_decode_one_fallback_and_contract():
     assert 0 <= luma <= 255
     with pytest.raises(NotImplementedError):
         _decode_one(b"x", "model/gltf")
+
+def test_wav_roundtrip_meta():
+    from usc_ds_relationextraction_spark.operators.multimodal import (
+        parse_wav_meta, tiny_wav)
+    for sr, ch, nf in [(8000, 1, 1), (44100, 2, 500), (16000, 2, 37)]:
+        assert parse_wav_meta(tiny_wav(sr, ch, nf, seed=nf)) == (sr, ch, nf)
+
+
+def test_wav_walks_past_extra_chunks():
+    import struct
+    from usc_ds_relationextraction_spark.operators.multimodal import (
+        parse_wav_meta, tiny_wav)
+    # splice a LIST chunk (odd size -> word-align padding) before fmt
+    p = tiny_wav(22050, 1, 9, seed=3)
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = p[:12] + lst + p[12:]
+    spliced = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8) + spliced[8:]
+    assert parse_wav_meta(spliced) == (22050, 1, 9)
+
+
+def test_mp4_roundtrip_meta():
+    from usc_ds_relationextraction_spark.operators.multimodal import (
+        parse_mp4_meta, tiny_mp4)
+    for ts, du in [(1000, 1), (90000, 123456), (600, 0)]:
+        assert parse_mp4_meta(tiny_mp4(ts, du)) == (ts, du)
+
+
+def test_mp4_mvhd_v1():
+    import struct
+    from usc_ds_relationextraction_spark.operators.multimodal import (
+        parse_mp4_meta)
+    mvhd = (struct.pack(">I", 120) + b"mvhd" + b"\x01\x00\x00\x00"
+            + struct.pack(">QQIQ", 0, 0, 48000, 7 * 48000)
+            + b"\x00" * 80)
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    assert parse_mp4_meta(ftyp + moov) == (48000, 7 * 48000)
+
+
+def test_av_parsers_reject_non_media():
+    from usc_ds_relationextraction_spark.operators.multimodal import (
+        parse_mp4_meta, parse_wav_meta)
+    assert parse_wav_meta(b"RIFFxxxx") is None
+    assert parse_wav_meta(b"plain text that is long enough") is None
+    assert parse_mp4_meta(b"\x00\x00\x00\x08free") is None
+    assert parse_mp4_meta(b"") is None
+
+
+def test_decode_one_av():
+    from usc_ds_relationextraction_spark.operators.multimodal import (
+        _decode_one, tiny_mp4, tiny_wav)
+    w, h, frames, _ = _decode_one(tiny_wav(8000, 2, 41), "audio/wav")
+    assert (w, h, frames) == (0, 0, 41)
+    w, h, frames, _ = _decode_one(tiny_mp4(90000, 777), "video/mp4")
+    assert (w, h, frames) == (0, 0, 777)

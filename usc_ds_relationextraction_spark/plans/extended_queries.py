@@ -106,6 +106,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.decode_features(media).select(
             "doc_id", "width", "height", "n_frames", "n_bytes")
     Q["mm_decode_real"] = mm_decode_real
+
+    def mm_decode_av(s, sf):
+        """Real WAV/MP4 header decode: RIFF chunk walk (fmt /data) and
+        ISO-BMFF box walk (moov/mvhd) over committed structurally-valid
+        fixtures; the oracle re-derives every field independently from
+        the binary's byte offsets (little-endian WAV, big-endian MP4)."""
+        path = multimodal.ensure_av_fixture(s, sf)
+        media = s.read.parquet(path)
+        return multimodal.decode_av_features(media)
+    Q["mm_decode_av"] = mm_decode_av
     return Q
 
 
@@ -692,5 +702,38 @@ SELECT doc_id,
        CAST(1 AS INT) AS n_frames,
        n_bytes
 FROM read_parquet('{media_pq}/*.parquet')
+"""
+
+    # WAV is little-endian (byte-compose), MP4 big-endian (direct hex
+    # slice).  Fixture layouts are canonical, so field offsets are fixed:
+    # WAV channels@22 sr@24 block_align@32 data_size@40; MP4 (16-byte
+    # ftyp + moov/mvhd v0) timescale@44 duration@48.
+    def byte(i: int) -> str:
+        return f"('0x' || substring(hex(media), {2 * i + 1}, 2))::BIGINT"
+
+    def le(o: int, nb: int) -> str:
+        return "(" + " + ".join(
+            f"{byte(o + k)} * {1 << (8 * k)}" for k in range(nb)) + ")"
+
+    def be32(o: int) -> str:
+        return f"('0x' || substring(hex(media), {2 * o + 1}, 8))::BIGINT"
+
+    wav_sr, wav_ch = le(24, 4), le(22, 2)
+    wav_nf = f"({le(40, 4)} // {le(32, 2)})"
+    mp4_ts, mp4_du = be32(44), be32(48)
+    av_pq = os.path.join(fixture_dir("sf0.01"), "media_av.parquet")
+    O["mm_decode_av"] = f"""
+SELECT doc_id, media_type,
+       CAST(CASE WHEN media_type = 'audio/wav' THEN {wav_sr}
+                 ELSE {mp4_ts} END AS INT) AS sample_rate,
+       CAST(CASE WHEN media_type = 'audio/wav' THEN {wav_ch}
+                 ELSE 0 END AS INT) AS channels,
+       CAST(CASE WHEN media_type = 'audio/wav' THEN {wav_nf}
+                 ELSE {mp4_du} END AS INT) AS n_frames,
+       CAST(CASE WHEN media_type = 'audio/wav'
+                 THEN {wav_nf} * 1000 // {wav_sr}
+                 ELSE {mp4_du} * 1000 // {mp4_ts} END AS INT) AS duration_ms,
+       n_bytes
+FROM read_parquet('{av_pq}/*.parquet')
 """
     return O
