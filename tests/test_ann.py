@@ -116,10 +116,12 @@ def test_kmeans_codebook_and_recall_100k(spark):
     ids = pdf["vec_id"].to_numpy()
     exact = {}
     for qi in range(qn):
-        d = M @ M[qi]
-        d[qi] = np.iinfo(np.int64).min
+        neg = -(M @ M[qi])
+        # exclude self AFTER negation (negating int64-min overflows to
+        # itself, which made the self row sort FIRST, not last)
+        neg[qi] = np.iinfo(np.int64).max
         # top-K by (dot desc, id asc) — matches the operators' tie rule
-        order = np.lexsort((ids, -d))[:K]
+        order = np.lexsort((ids, neg))[:K]
         exact[qi] = set(int(ids[j]) for j in order)
 
     from usc_ds_relationextraction_spark.operators.similarity import \
