@@ -28,21 +28,34 @@ OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests", "fixtures", "real_corpus")
 
 PERSONS = ["Clara Mendez", "David Okafor", "Priya Raman", "Thomas Beck",
-           "Elena Vasquez", "Marcus Webb", "Alice Chen", "Robert Hale"]
+           "Elena Vasquez", "Marcus Webb", "Alice Chen", "Robert Hale",
+           "Nina Petrova", "Samuel Ortiz", "Grace Liu", "Daniel Moreau",
+           "Fatima Noor", "Victor Ramos", "Hannah Stein", "Omar Haddad"]
 ORGS = ["Halcyon Systems", "Northbridge Capital", "Veridian Labs",
-        "Crestline Media", "Atlas Foundry", "Summit Analytics"]
+        "Crestline Media", "Atlas Foundry", "Summit Analytics",
+        "Ridgeline Partners", "Beacon Works", "Harborview Group",
+        "Quintessa Biotech", "Stratus Dynamics", "Pinewood Holdings"]
 LOCS = ["Porterville", "Eastgate", "Milford", "San Marcos", "Fairhaven",
-        "Lakewood County"]
-# (container, contained) pairs for /location/location/contains
+        "Lakewood County", "Bellmore", "Dunmore", "Westfall",
+        "Kingsbridge"]
+# (container, contained) pairs for /location/location/contains and
+# (neighborhood=contained, city=container) for neighborhood_of
 LOC_PAIRS = [("Lakewood County", "Porterville"),
              ("Lakewood County", "Eastgate"),
              ("San Marcos", "Milford"),
-             ("Fairhaven", "Eastgate")]
+             ("Fairhaven", "Eastgate"),
+             ("San Marcos", "Bellmore"),
+             ("Fairhaven", "Kingsbridge"),
+             ("Lakewood County", "Dunmore"),
+             ("San Marcos", "Westfall")]
 
 BP = "/business/person/company"
 PB = "/people/person/place_of_birth"
 OH = "/organization/organization/headquarters"
 LC = "/location/location/contains"
+PL = "/people/person/place_lived"
+CF = "/business/company/founders"
+NB = "/location/neighborhood/neighborhood_of"
 NONE = "None"
 
 # gold PTB tags for every non-entity template word (hand-checked)
@@ -78,6 +91,10 @@ LEX = {
     "grown": "VBN", "has": "VBZ", "quickly": "RB", "area": "NN",
     "downtown": "NN", "review": "NN", "which": "WDT", "who": "WP", "lies": "VBZ",
     "near": "IN",
+    # round-5 additions (PL/CF/NB templates); single-tag constraint, so
+    # "lived" is used only as simple past (VBD), never "has lived"
+    "lived": "VBD", "years": "NNS", "neighborhood": "NN",
+    "founder": "NN", "neighbors": "NNS",
 }
 
 # templates: text with {P}/{O}/{L}/{L1}/{L2} placeholders; (rel, subj,
@@ -102,14 +119,33 @@ T_TRAIN = [
     (OH, "O", "L", "The headquarters of {O} in {L} employs hundreds ."),
     (OH, "O", "L", "From its headquarters in {L} , {O} serves the "
                    "northern region ."),
+    # decorrelates the "has grown quickly" context from CF/NB: without
+    # an OH carrier of this n-gram, held-out "which is based in ... has
+    # grown quickly" mentions drift to /business/company/founders
+    (OH, "O", "L", "{O} , which is headquartered in {L} , has grown "
+                   "quickly ."),
     (LC, "L1", "L2", "{L1} includes the district of {L2} ."),
     (LC, "L1", "L2", "The town of {L2} lies within {L1} ."),
     (LC, "L1", "L2", "Residents of {L2} , a district of {L1} , visited "
                      "the new office ."),
+    (PL, "P", "L", "{P} lived in {L} for several years ."),
+    (PL, "P", "L", "{P} now lives in {L} ."),
+    (PL, "P", "L", "Neighbors say {P} lived in {L} before the merger ."),
+    (PL, "P", "L", "After college , {P} moved to {L} and still lives "
+                   "there ."),
+    (CF, "O", "P", "{O} was founded by {P} ."),
+    (CF, "O", "P", "{O} , founded by {P} , has grown quickly ."),
+    (CF, "O", "P", "{P} is a founder of {O} ."),
+    (NB, "L2", "L1", "{L2} is a neighborhood of {L1} ."),
+    (NB, "L2", "L1", "The {L2} neighborhood of {L1} has grown "
+                     "quickly ."),
+    (NB, "L2", "L1", "Residents of {L2} , a neighborhood of {L1} , "
+                     "visited the new office ."),
     (NONE, "P", "L", "{P} visited {L} last spring ."),
     (NONE, "P", "O", "{P} and {O} were both mentioned in the annual "
                      "report ."),
     (NONE, "O", "L", "{O} opened an office in {L} last week ."),
+    (NONE, "P", "O", "{P} spoke about {O} on Friday ."),
 ]
 T_TEST = [
     (BP, "P", "O", "{P} now runs the analytics division at {O} ."),
@@ -121,6 +157,10 @@ T_TEST = [
     (OH, "O", "L", "{O} remains headquartered in {L} ."),
     (OH, "O", "L", "{O} , which is based in {L} , has grown quickly ."),
     (LC, "L1", "L2", "{L1} includes the town of {L2} ."),
+    (PL, "P", "L", "{P} still lives in {L} ."),
+    (CF, "O", "P", "{O} , which was founded by {P} , reported strong "
+                   "annual earnings ."),
+    (NB, "L2", "L1", "{L2} remains a neighborhood of {L1} ."),
     (NONE, "P", "L", "{P} visited {L} for the annual review ."),
     (NONE, "O", "L", "{O} opened an office in {L} this spring ."),
 ]

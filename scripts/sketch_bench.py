@@ -59,15 +59,30 @@ def synth(spark, n_rows: int, base: str):
 
 
 def timed(label: str, df, rows: int, results: list):
-    t0 = time.time()
-    # pmod keeps the probe sum inside int64 under ANSI mode (minhash sigs
-    # are ~2^60; 1M of them overflow a raw SUM)
-    df.agg(F.count("*"),
-           F.sum(F.pmod(F.col(df.columns[-1]), F.lit(1000003)))).collect()
-    dt = time.time() - t0
-    rate = rows / dt
-    row = {"op": label, "rows": rows, "sec": round(dt, 2),
-           "rows_per_sec": int(rate)}
+    """min-of-2 steady-state wall + the cold (first-execution) wall.
+
+    The first execution of each distinct UDF pays a one-time per-worker
+    cost (package import + JVM codegen, ~8-9s across 32 local workers
+    for the sketch bank) that a long-lived executor amortizes to zero —
+    at 100 TB an executor runs thousands of batches per import.  Earlier
+    BENCH_SKETCH rows folded that into the rate (MinHash read 49-93k
+    docs/s when its steady state is >500k); recording cold and steady
+    separately keeps both stories honest.
+    """
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        # pmod keeps the probe sum inside int64 under ANSI mode (minhash
+        # sigs are ~2^60; 1M of them overflow a raw SUM)
+        df.agg(F.count("*"),
+               F.sum(F.pmod(F.col(df.columns[-1]), F.lit(1000003)))
+               ).collect()
+        walls.append(time.time() - t0)
+    cold, steady = walls[0], min(walls[1:])
+    row = {"op": label, "rows": rows, "sec": round(steady, 2),
+           "rows_per_sec": int(rows / steady),
+           "cold_sec": round(cold, 2),
+           "cold_rows_per_sec": int(rows / cold)}
     results.append(row)
     print(json.dumps(row), flush=True)
 

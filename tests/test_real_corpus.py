@@ -36,8 +36,10 @@ def test_fixture_shape():
 
 
 def test_rule_tagger_agreement_on_real_english():
-    """The rule tagger vs gold PTB tags on real English — held ≥0.93
-    after the round-4 closed-class extension (was 0.823)."""
+    """The rule tagger vs gold PTB tags on real English — 0.823 at
+    round 3, ≥0.93 after the round-4 closed-class extension, ≥0.95
+    after the round-5 participle/suffix-miss extension (measured
+    0.975 on the 10× corpus)."""
     from usc_ds_relationextraction_spark.functions.tokenize import _tag_one
     tot = ok = 0
     for fn in ("train_new.json", "test_new.json"):
@@ -48,21 +50,26 @@ def test_rule_tagger_agreement_on_real_english():
                 tot += 1
                 ok += _tag_one(t) == g
     assert tot > 1000
-    assert ok / tot >= 0.93, f"agreement {ok / tot:.3f}"
+    assert ok / tot >= 0.95, f"agreement {ok / tot:.3f}"
 
 
 def test_replay_gate_on_real_corpus(spark, tmp_path):
-    """End-to-end replay (features → graphs → train → predict → tune →
-    M10) on the real-English corpus.  Deterministic: 40 epochs lands
-    P=1.0 / R≈0.57 / F1≈0.727 with exactly one quarantined line; the
-    committed 120-epoch headline (BENCH.md) is F1 0.864."""
+    """End-to-end replay (features → graphs → train → predict → M10) on
+    the 10× real-English corpus at the COMMITTED operating point —
+    θ=0.12, 300 epochs, frozen from the scripts/tune_replay.py sweep
+    (θ-plateau [0.02, 0.21] all score identically, so the committed θ
+    sits mid-plateau, not on a cliff).  Deterministic training lands
+    P=0.9355 / R=0.9667 / F1=0.9508 (31 predicted, 30 gold, 29 hits)
+    with exactly one quarantined corrupt line."""
     from usc_ds_relationextraction_spark.plans.replay import replay_gate
     res = replay_gate(spark, str(tmp_path / "wh"),
                       os.path.join(DIR, "train_new.json"),
                       os.path.join(DIR, "test_new.json"),
-                      epochs=40, lr=0.25)
+                      epochs=300, lr=0.25, theta=0.12)
     assert res["n_corrupt"] == 1
+    assert res["theta_used"] == 0.12
     m = res["metrics"]
-    assert m["precision"] >= 0.95
-    assert m["f1"] >= 0.70, m
-    assert res["n_triples"] >= 10
+    assert m["f1"] >= 0.90, m
+    assert m["precision"] >= 0.93, m
+    assert m["recall"] >= 0.90, m
+    assert res["n_triples"] >= 25

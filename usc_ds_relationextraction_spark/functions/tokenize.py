@@ -79,6 +79,16 @@ POS_DICT: dict[str, str] = {
     "many": "JJ", "several": "JJ", "most": "JJS", "more": "JJR",
     "annual": "JJ", "longtime": "JJ", "senior": "JJ",
     "colleagues": "NNS", "spring": "NN", "lead": "VB", "however": "RB",
+    # round-5 extension: the 10× real corpus's top rule misses, all
+    # single-sense in English news register and none begins a proper
+    # name (checked: absent from the synthetic templates, so committed
+    # oracle values are untouched; the DuckDB twin regenerates from
+    # this dict).  Participles the '-ed'→VBD suffix rule mis-tags:
+    "grown": "VBN", "headquartered": "VBN", "founded": "VBN",
+    "mentioned": "VBN", "worked": "VBN",
+    # '-ly'/'-s' suffix-rule misses:
+    "family": "NN", "headquarters": "NN",
+    "residents": "NNS", "neighbors": "NNS", "northern": "JJ",
 }
 
 

@@ -111,11 +111,19 @@ def replay_feature_rows(corpus: DataFrame, brown: dict[str, str],
 def replay_gate(spark: SparkSession, warehouse: str, train_path: str,
                 test_path: str, brown: dict[str, str] | None = None,
                 epochs: int = 40, lr: float = 0.25,
-                dep_features: bool = False) -> dict:
+                dep_features: bool = False,
+                theta: float | None = None) -> dict:
     """features → graphs → train → predict → tune → M10 over a dropped-in
     reference corpus pair.  Returns the metrics dict and writes learned
     triples + lineage to the warehouse (resumable: re-running skips
-    completed stages)."""
+    completed stages).
+
+    ``theta``: committed operating point — when given, predictions and
+    metrics are cut at THIS normalized-score threshold instead of the
+    sweep's F1-argmax (the production contract: θ is frozen from a
+    validation sweep, never re-tuned on the corpus being scored).  The
+    sweep's own best row is still returned under ``best`` for reference.
+    """
     from .evaluation import best_threshold, evaluate_rm_neg, sweep_thresholds
     from .inference import (materialize_triples, mention_embeddings,
                             min_max_normalize, score_types)
@@ -153,7 +161,8 @@ def replay_gate(spark: SparkSession, warehouse: str, train_path: str,
     normalized = min_max_normalize(scored).localCheckpoint()
     sweep = sweep_thresholds(normalized, gt, none_id)
     best = best_threshold(sweep)
-    preds = normalized.where(F.col("score_norm") > best["theta"]).select(
+    cut = best["theta"] if theta is None else theta
+    preds = normalized.where(F.col("score_norm") > cut).select(
         "mention_id", "type_id", F.col("score_norm").alias("score"))
     metrics = evaluate_rm_neg(preds.select("mention_id", "type_id"),
                               gt, none_id)
@@ -162,5 +171,5 @@ def replay_gate(spark: SparkSession, warehouse: str, train_path: str,
     triples = materialize_triples(preds, rm_pairs, g["types"])
     triples = pipe.wh.write("replay_triples_learned", triples)
     return {"best": best, "metrics": metrics, "n_corrupt": n_corrupt,
-            "n_triples": triples.count(),
+            "theta_used": cut, "n_triples": triples.count(),
             "stages": [m["stage"] for m in pipe.wh.metrics()]}
