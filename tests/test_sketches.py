@@ -124,6 +124,59 @@ def test_mask_shared_spans(spark):
     assert got_c[2] == 8 and got_c[1] == 0
 
 
+def test_cluster_canonical_union_find(spark, docs):
+    """Composed dedup final stage (verified pairs → connected components
+    → canonical per cluster) ≡ a plain-Python union-find over the SAME
+    verified pairs — independent derivation of the transitive closure."""
+    from usc_ds_relationextraction_spark.plans.extended_queries import (
+        queries)
+    ver = [(r.doc_a, r.doc_b) for r in
+           dedup.verified_near_dups(docs, min_jaccard_milli=200).collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in ver:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    want = {d: find(d) for d in all_ids}
+    got = {r.doc_id: (r.canonical_doc_id, r.is_canonical) for r in
+           queries()["dedup_cluster_canonical"](spark, SF).collect()}
+    assert len(got) == len(all_ids)
+    assert {d: c for d, (c, _) in got.items()} == want
+    # canonical flag: exactly one per cluster, on the min member
+    assert {d for d, (c, k) in got.items() if k == 1} == set(want.values())
+
+
+def test_cluster_canonical_transitive_chain(spark):
+    """A≈B and B≈C near-dup with jaccard(A,C) below τ must still land in
+    ONE cluster (near-dup is not pairwise-transitive; the cluster is)."""
+    from usc_ds_relationextraction_spark.plans.kg_materialize import (
+        connected_components)
+    base = " ".join(f"w{i}" for i in range(30))
+    mid = " ".join(f"w{i}" for i in range(10, 40))
+    far = " ".join(f"w{i}" for i in range(20, 50))
+    df = spark.createDataFrame(
+        [(1, base), (2, mid), (3, far), (9, "totally different text here")],
+        "doc_id long, text string")
+    ver = dedup.ngram_jaccard_pairs(df, min_jaccard_milli=300)
+    pairs = {(r.doc_a, r.doc_b) for r in ver.collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+    edges = ver.selectExpr("doc_a as src", "doc_b as dst").unionAll(
+        ver.selectExpr("doc_b as src", "doc_a as dst"))
+    comp = connected_components(
+        df.selectExpr("doc_id as entity_id"), edges)
+    got = {r.entity_id: r.component_id for r in comp.collect()}
+    assert got[1] == got[2] == got[3] == 1 and got[9] == 9
+
+
 def test_lsh_buckets_arrow_matches_hof(spark, emb):
     a = similarity.lsh_buckets(emb, dim=64, planes=6)
     b = similarity.lsh_buckets_hof(emb, dim=64, planes=6)

@@ -70,6 +70,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, min_tokens=5,
             candidates=dedup.lsh_candidate_pairs(docs))
     Q["dedup_mask_spans"] = mask_spans
+
+    def cluster_canonical(s, sf):
+        """Document-level dedup final stage: verified near-dup pairs →
+        connected components → one canonical doc per cluster.  The 100 TB
+        corpus-dedup consumer ("keep one copy per duplicate group"):
+        transitive closure matters because near-dup is not transitive
+        pairwise (A≈B, B≈C may hold while jaccard(A,C) < τ — the group
+        is still one duplicate cluster).
+
+        Scale shape: edges = verified LSH pairs (sparse, banded — never
+        all-pairs); min-label propagation is rounds ≈ cluster diameter
+        (near-dup clusters are shallow star/chain graphs), each round one
+        equi-join + one partially-aggregated min (algebraic → map-side
+        combine absorbs hub-doc skew).  No driver-side graph state."""
+        from .kg_materialize import connected_components
+        docs = _t(s, sf, "documents")
+        ver = dedup.verified_near_dups(docs, min_jaccard_milli=200)
+        verts = docs.select(F.col("doc_id").alias("entity_id"))
+        edges = ver.select(F.col("doc_a").alias("src"),
+                           F.col("doc_b").alias("dst")) \
+            .unionAll(ver.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst")))
+        comp = connected_components(verts, edges)
+        return comp.select(
+            F.col("entity_id").alias("doc_id"),
+            F.col("component_id").alias("canonical_doc_id"),
+            (F.col("entity_id") == F.col("component_id"))
+            .cast("int").alias("is_canonical"))
+    Q["dedup_cluster_canonical"] = cluster_canonical
     Q["text_langid"] = lambda s, sf: lang_id(_t(s, sf, "documents"))
     Q["text_quality"] = lambda s, sf: quality_metrics(_t(s, sf, "documents"))
     Q["text_token_counts"] = lambda s, sf: token_counts(
@@ -350,6 +379,39 @@ SELECT doc_a, doc_b, i * 1000 // (na.n + nb.n - i) AS jaccard_milli
 FROM inter JOIN sizes na ON doc_a = na.doc_id
            JOIN sizes nb ON doc_b = nb.doc_id
 WHERE i * 1000 // (na.n + nb.n - i) >= 200
+"""
+
+    # verified pairs -> transitive closure -> canonical doc per cluster.
+    # The recursive CTE computes, per doc, every doc that reaches it over
+    # the (bidirectional) verified-pair edges; MIN over that reach set is
+    # the component min — an independent derivation of the Spark side's
+    # iterative min-label propagation.
+    O["dedup_cluster_canonical"] = f"""WITH RECURSIVE {_sql_lsh_cand()},
+shd AS (SELECT DISTINCT doc_id, s FROM sh_lists, UNNEST(sh) AS u(s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN shd x ON x.doc_id = c.doc_a
+  JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b
+),
+ver AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes na ON doc_a = na.doc_id
+             JOIN sizes nb ON doc_b = nb.doc_id
+  WHERE i * 1000 // (na.n + nb.n - i) >= 200
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ver),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS canonical_doc_id,
+       CAST(id = MIN(r) AS INT) AS is_canonical
+FROM reach GROUP BY id
 """
 
     vote_exprs = []
