@@ -208,3 +208,35 @@ def test_int_dot_arrow_matches_hof(spark, emb):
     b = base.select(
         "vec_id", similarity.int_dot(F.col("q"), F.col("q")).alias("d"))
     assert _rows(a) == _rows(b)
+
+
+def test_filter_metrics_one_pass_matches_composition(spark, docs):
+    """filter_metrics (single projection) ≡ the three metric tables it
+    fuses — the zero-join corpus-gate input is value-identical to the
+    lang_id ⋈ quality_metrics ⋈ token_counts composition."""
+    from usc_ds_relationextraction_spark.functions.text_analysis import (
+        filter_metrics, lang_id, quality_metrics, token_counts)
+    m = {r.doc_id: (r.lang_pred, r.quality_milli, r.ws_tokens)
+         for r in filter_metrics(docs).collect()}
+    la = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    q = {r.doc_id: r.quality_milli for r in quality_metrics(docs).collect()}
+    t = {r.doc_id: r.ws_tokens for r in token_counts(docs).collect()}
+    assert m == {d: (la[d], q[d], t[d]) for d in la}
+
+
+def test_corpus_filter_verdict_semantics(spark):
+    """keep is exactly the conjunction of the three gates; drop_reason is
+    the first failing gate in the documented priority; all four verdict
+    families fire on the sf0.01 corpus."""
+    from __spark_entry__ import queries
+    rows = queries()["corpus_filter"](spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        gates = [("duplicate", r.is_canonical == 0),
+                 ("language", r.lang_pred != "en"),
+                 ("quality", r.quality_milli < 450)]
+        assert r.keep == int(not any(v for _, v in gates))
+        assert r.drop_reason == next(
+            (k for k, v in gates if v), "kept")
+    assert {"duplicate", "language", "quality", "kept"} <= {
+        r.drop_reason for r in rows}

@@ -48,30 +48,36 @@ def stopword_votes(toks: Column) -> dict[str, Column]:
             for lang, words in STOPWORDS.items()}
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Argmax stopword votes; deterministic tie-break on language code;
+def _lang_pred(toks: Column) -> tuple[Column, Column, dict[str, Column]]:
+    """(lang_pred, best_votes, votes) expressions over a token array.
+    Argmax stopword votes; deterministic tie-break on language code;
     'und' (undetermined) when no stopword hits at all."""
-    toks = ws_tokens(text_col)
     votes = stopword_votes(toks)
     best = F.greatest(*[votes[lg] for lg in LANGS])
     pred = F.lit("und")
     for lg in reversed(LANGS):  # earlier langs win ties → apply in reverse
         pred = F.when(votes[lg] == best, F.lit(lg)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return pred, best, votes
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc language prediction (see :func:`_lang_pred`)."""
+    toks = ws_tokens(text_col)
+    pred, best, votes = _lang_pred(toks)
     sel = [F.col("doc_id"), pred.alias("lang_pred"),
            best.cast("int").alias("best_votes")]
     sel += [votes[lg].cast("int").alias(f"v_{lg}") for lg in LANGS]
     return docs.select(*sel)
 
 
-def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Integer quality components + a composite milli-score.
+def _quality_parts(toks: Column) -> dict[str, Column]:
+    """Named integer quality expressions over a token array.
 
     score = 400*stop_ratio + 300*distinct_ratio + 200*len_ok + 100*punct_ok
     (all ratios in milli-units, bounded — a simple, documented heuristic
     in the Gopher/C4 filter family.)
     """
-    toks = ws_tokens(text_col)
     n_tok = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     all_stop = None
@@ -95,15 +101,41 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     score = (F.floor(stop_milli * 400 / 1000)
              + F.floor(dist_milli * 300 / 1000)
              + len_ok * 200 + punct_ok * 100)
+    return {
+        "n_tokens": n_tok.cast("int"),
+        "n_distinct": n_distinct.cast("int"),
+        "n_stop": all_stop.cast("int"),
+        "n_punct": n_punct.cast("int"),
+        "sum_tok_len": sum_len.cast("int"),
+        "stop_milli": stop_milli.cast("bigint"),
+        "distinct_milli": dist_milli.cast("bigint"),
+        "quality_milli": score.cast("bigint"),
+    }
+
+
+def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer quality components + composite milli-score
+    (see :func:`_quality_parts` for the formula)."""
+    parts = _quality_parts(ws_tokens(text_col))
     return docs.select(
-        "doc_id", n_tok.cast("int").alias("n_tokens"),
-        n_distinct.cast("int").alias("n_distinct"),
-        all_stop.cast("int").alias("n_stop"),
-        n_punct.cast("int").alias("n_punct"),
-        sum_len.cast("int").alias("sum_tok_len"),
-        stop_milli.cast("bigint").alias("stop_milli"),
-        dist_milli.cast("bigint").alias("distinct_milli"),
-        score.cast("bigint").alias("quality_milli"))
+        "doc_id", *[c.alias(n) for n, c in parts.items()])
+
+
+def filter_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-doc filter inputs: ``lang_pred`` + ``quality_milli``
+    + ``ws_tokens`` in a SINGLE projection.
+
+    The naive composition (``lang_id ⋈ quality_metrics ⋈ token_counts``
+    on doc_id) re-scans the corpus three times and shuffles per-doc rows
+    twice; every input here is row-local, so this is one scan and zero
+    shuffles — the shape a 100 TB quality gate needs."""
+    toks = ws_tokens(text_col)
+    pred, _, _ = _lang_pred(toks)
+    parts = _quality_parts(toks)
+    return docs.select(
+        "doc_id", pred.alias("lang_pred"),
+        parts["quality_milli"].alias("quality_milli"),
+        parts["n_tokens"].alias("ws_tokens"))
 
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:

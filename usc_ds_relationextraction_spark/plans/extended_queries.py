@@ -14,8 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text_analysis import (BPE_RE, LANGS, STOPWORDS,
-                                       fingerprint, lang_id,
-                                       quality_metrics, token_counts)
+                                       filter_metrics, fingerprint,
+                                       lang_id, quality_metrics,
+                                       token_counts)
 from ..operators import dedup, multimodal, similarity
 
 EMB_DIM = 64
@@ -99,6 +100,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("entity_id") == F.col("component_id"))
             .cast("int").alias("is_canonical"))
     Q["dedup_cluster_canonical"] = cluster_canonical
+
+    def corpus_filter(s, sf):
+        """The end-to-end pretraining-corpus gate: per document a
+        keep/drop verdict composing the whole pipeline — duplicate-
+        cluster canonicalization (keep one copy per near-dup group),
+        language ID, and quality scoring — with the first failing gate
+        recorded as ``drop_reason`` (priority: duplicate > language >
+        quality).
+
+        Scale shape: the three metric families are row-local and fused
+        into ONE corpus projection (:func:`...filter_metrics` — no
+        metric-table self-joins), so the only shuffles are the ones the
+        dedup stage already pays (banded LSH + min-label rounds) plus a
+        single 1:1 equi-join of metrics↔canonical flags on uniform
+        doc_id.  Thresholds are corpus-calibrated constants (median
+        quality_milli at sf0.01 is 462; 450 keeps ~60%)."""
+        docs = _t(s, sf, "documents")
+        canon = cluster_canonical(s, sf)
+        j = filter_metrics(docs).join(canon, "doc_id")
+        dup = F.col("is_canonical") == 0
+        bad_lang = F.col("lang_pred") != "en"
+        low_q = F.col("quality_milli") < 450
+        reason = (F.when(dup, "duplicate").when(bad_lang, "language")
+                  .when(low_q, "quality").otherwise("kept"))
+        return j.select(
+            "doc_id", "lang_pred", "quality_milli", "ws_tokens",
+            "canonical_doc_id", "is_canonical",
+            (~(dup | bad_lang | low_q)).cast("int").alias("keep"),
+            reason.alias("drop_reason"))
+    Q["corpus_filter"] = corpus_filter
     Q["text_langid"] = lambda s, sf: lang_id(_t(s, sf, "documents"))
     Q["text_quality"] = lambda s, sf: quality_metrics(_t(s, sf, "documents"))
     Q["text_token_counts"] = lambda s, sf: token_counts(
@@ -221,6 +252,41 @@ def _sql_minhash_sigs() -> str:
             f"(({terms}) & {MASK60})) ELSE CAST([] AS BIGINT[]) END AS hs "
             f"FROM tok_h),\n"
             f"sigs AS (SELECT doc_id,\n       {sigs}\n  FROM sh_h)")
+
+
+def _sql_canonical() -> str:
+    """Verified near-dup pairs (jaccard≥200‰ over LSH candidates) →
+    bidirectional edges → recursive transitive closure → CTE ``canon``
+    (doc_id, canonical_doc_id, is_canonical).  Requires the CTEs of
+    :func:`_sql_lsh_cand` (``cand``, ``sh_lists``) in scope and a
+    ``WITH RECURSIVE`` prefix."""
+    return """shd AS (SELECT DISTINCT doc_id, s FROM sh_lists, UNNEST(sh) AS u(s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN shd x ON x.doc_id = c.doc_a
+  JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b
+),
+ver AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes na ON doc_a = na.doc_id
+             JOIN sizes nb ON doc_b = nb.doc_id
+  WHERE i * 1000 // (na.n + nb.n - i) >= 200
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ver),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+canon AS (
+  SELECT id AS doc_id, MIN(r) AS canonical_doc_id,
+         CAST(id = MIN(r) AS INT) AS is_canonical
+  FROM reach GROUP BY id
+)"""
 
 
 def oracles() -> dict[str, str]:
@@ -387,31 +453,8 @@ WHERE i * 1000 // (na.n + nb.n - i) >= 200
     # the component min — an independent derivation of the Spark side's
     # iterative min-label propagation.
     O["dedup_cluster_canonical"] = f"""WITH RECURSIVE {_sql_lsh_cand()},
-shd AS (SELECT DISTINCT doc_id, s FROM sh_lists, UNNEST(sh) AS u(s)),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
-inter AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-  FROM cand c
-  JOIN shd x ON x.doc_id = c.doc_a
-  JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
-  GROUP BY c.doc_a, c.doc_b
-),
-ver AS (
-  SELECT doc_a, doc_b
-  FROM inter JOIN sizes na ON doc_a = na.doc_id
-             JOIN sizes nb ON doc_b = nb.doc_id
-  WHERE i * 1000 // (na.n + nb.n - i) >= 200
-),
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
-          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ver),
-reach(id, r) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-)
-SELECT id AS doc_id, MIN(r) AS canonical_doc_id,
-       CAST(id = MIN(r) AS INT) AS is_canonical
-FROM reach GROUP BY id
+{_sql_canonical()}
+SELECT doc_id, canonical_doc_id, is_canonical FROM canon
 """
 
     vote_exprs = []
@@ -470,6 +513,51 @@ SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
        CAST(floor(stop_milli * 400 / 1000) + floor(distinct_milli * 300 / 1000)
             + len_ok * 200 + punct_ok * 100 AS BIGINT) AS quality_milli
 FROM m
+"""
+
+    # corpus_filter: canonical chain + single-pass metric CTEs, joined.
+    O["corpus_filter"] = f"""WITH RECURSIVE {_sql_lsh_cand()},
+{_sql_canonical()},
+lv AS (SELECT doc_id, {', '.join(vote_exprs)} FROM doc_toks),
+lb AS (SELECT *, greatest({', '.join('v_' + lg for lg in LANGS)}) AS best
+       FROM lv),
+lp AS (SELECT doc_id,
+       CASE WHEN best > 0 THEN (CASE {case_pred} END) ELSE 'und' END
+         AS lang_pred
+       FROM lb),
+qb AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         len(list_distinct(toks)) AS n_distinct,
+         ({all_stop}) AS n_stop,
+         len(list_filter(toks, t -> NOT regexp_matches(t, '[A-Za-z0-9]')))
+           AS n_punct
+  FROM doc_toks),
+qm2 AS (
+  SELECT doc_id, n_tok,
+    CASE WHEN n_tok > 0 THEN floor(n_stop * 1000 / n_tok) ELSE 0 END
+      AS stop_milli,
+    CASE WHEN n_tok > 0 THEN floor(n_distinct * 1000 / n_tok) ELSE 0 END
+      AS distinct_milli,
+    CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1 ELSE 0 END AS len_ok,
+    CASE WHEN n_tok > 0 AND floor(n_punct * 1000 / n_tok) < 300
+         THEN 1 ELSE 0 END AS punct_ok
+  FROM qb),
+qs AS (
+  SELECT doc_id, CAST(n_tok AS INT) AS ws_tokens,
+         CAST(floor(stop_milli * 400 / 1000)
+              + floor(distinct_milli * 300 / 1000)
+              + len_ok * 200 + punct_ok * 100 AS BIGINT) AS quality_milli
+  FROM qm2)
+SELECT c.doc_id, lp.lang_pred, qs.quality_milli, qs.ws_tokens,
+       c.canonical_doc_id, c.is_canonical,
+       CAST(c.is_canonical = 1 AND lp.lang_pred = 'en'
+            AND qs.quality_milli >= 450 AS INT) AS keep,
+       CASE WHEN c.is_canonical = 0 THEN 'duplicate'
+            WHEN lp.lang_pred <> 'en' THEN 'language'
+            WHEN qs.quality_milli < 450 THEN 'quality'
+            ELSE 'kept' END AS drop_reason
+FROM canon c JOIN lp ON c.doc_id = lp.doc_id
+             JOIN qs ON c.doc_id = qs.doc_id
 """
 
     O["text_token_counts"] = f"""WITH {_sql_doc_toks()}
