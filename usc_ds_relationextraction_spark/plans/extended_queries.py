@@ -130,6 +130,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (~(dup | bad_lang | low_q)).cast("int").alias("keep"),
             reason.alias("drop_reason"))
     Q["corpus_filter"] = corpus_filter
+
+    def corpus_filter_stats(s, sf):
+        """Token-budget accounting over the gate verdicts: per
+        drop_reason the doc count and whitespace-token mass — the
+        report a 100 TB filtering job emits (how much of the corpus
+        each gate removed, in tokens, the unit the training budget is
+        denominated in).  One partial-aggregated groupBy on a
+        4-value key on top of :func:`corpus_filter`."""
+        v = corpus_filter(s, sf)
+        return v.groupBy("drop_reason").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ws_tokens").cast("bigint").alias("n_tokens"))
+    Q["corpus_filter_stats"] = corpus_filter_stats
     Q["text_langid"] = lambda s, sf: lang_id(_t(s, sf, "documents"))
     Q["text_quality"] = lambda s, sf: quality_metrics(_t(s, sf, "documents"))
     Q["text_token_counts"] = lambda s, sf: token_counts(
@@ -558,6 +571,15 @@ SELECT c.doc_id, lp.lang_pred, qs.quality_milli, qs.ws_tokens,
             ELSE 'kept' END AS drop_reason
 FROM canon c JOIN lp ON c.doc_id = lp.doc_id
              JOIN qs ON c.doc_id = qs.doc_id
+"""
+
+    # corpus_filter_stats: the same verdict SQL, rolled up per reason.
+    body = O["corpus_filter"].split("WITH RECURSIVE", 1)[1]
+    O["corpus_filter_stats"] = f"""WITH RECURSIVE{body.rsplit("SELECT", 1)[0]}
+, verdicts AS (SELECT{body.rsplit("SELECT", 1)[1]})
+SELECT drop_reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens
+FROM verdicts GROUP BY drop_reason
 """
 
     O["text_token_counts"] = f"""WITH {_sql_doc_toks()}
