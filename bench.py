@@ -60,6 +60,40 @@ def _loadavg() -> float:
         return float(fh.read().split()[0])
 
 
+def _cpu_canary() -> tuple[float, float]:
+    """Host-speed canary: wall seconds for a fixed single-thread workload
+    (2M chained md5 digests), plus the kernel-reported core MHz.
+
+    The loadavg detector proves nothing ELSE ran in the guest; it cannot
+    prove how fast the guest actually WAS.  Round 5 hit exactly that
+    gap: the same code and data read 32.68s during a half-speed host
+    phase (hypervisor CPU steal — this canary read 1.50s) and 17.18s two
+    hours later on the SAME boot (canary 1.05s), detector green both
+    times; the 13.44s record's full-speed boot is inferred ≈0.75s.
+    /proc/cpuinfo reports a static nominal MHz throughout, so the
+    kernel-visible frequency cannot substitute.  Stamping a
+    deterministic CPU-bound canary into every bench JSON makes readings
+    self-normalizing: compare absolute totals only between runs with
+    similar canary times; ratios (per-query shape, scaling efficiency)
+    carry regardless."""
+    import hashlib
+    x = b"\x00" * 16
+    t0 = time.time()
+    for _ in range(2_000_000):
+        x = hashlib.md5(x).digest()
+    sec = time.time() - t0
+    mhz = 0.0
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("cpu MHz"):
+                    mhz = float(line.split(":")[1])
+                    break
+    except OSError:
+        pass
+    return round(sec, 3), mhz
+
+
 class LoadSampler:
     """Samples 1-min loadavg every 5s (first sample immediate) for the
     contention stamp — same mechanical signal scaling_bench.py uses.
@@ -103,6 +137,7 @@ def main() -> None:
     qs = entrymod.queries()
     force(qs["a4_weighted_degree"](spark, SF_DIR))  # warm-up
 
+    canary_sec, cpu_mhz = _cpu_canary()  # before the timed suite
     load_before = _loadavg()
     times: dict[str, float] = {}
     with LoadSampler() as sampler:
@@ -141,6 +176,8 @@ def main() -> None:
         "loadavg_budget": load_budget,
         "contended": contended,
         "authoritative": not contended,
+        "cpu_canary_md5_2m_sec": canary_sec,
+        "cpu_mhz": cpu_mhz,
     }
     spark.stop()
     print(json.dumps(out))

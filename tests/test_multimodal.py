@@ -84,6 +84,19 @@ def test_wav_walks_past_extra_chunks():
     assert parse_wav_meta(spliced) == (22050, 1, 9)
 
 
+def test_wav_rejects_short_fmt_chunk():
+    import struct
+    from usc_ds_relationextraction_spark.operators.multimodal import (
+        parse_wav_meta)
+    # fmt declares sz=4 (< the 16-byte PCM minimum): the old fixed-offset
+    # read would decode the following data chunk's header bytes as
+    # sample_rate/block_align and return garbage instead of None
+    body = (b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+            + b"data" + struct.pack("<I", 8) + b"\x00" * 8)
+    p = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert parse_wav_meta(p) is None
+
+
 def test_mp4_roundtrip_meta():
     from usc_ds_relationextraction_spark.operators.multimodal import (
         parse_mp4_meta, tiny_mp4)

@@ -224,6 +224,37 @@ def test_filter_metrics_one_pass_matches_composition(spark, docs):
     assert m == {d: (la[d], q[d], t[d]) for d in la}
 
 
+def test_text_metrics_null_text_is_zero_not_null(spark):
+    """NULL text must produce 0-valued metrics / 'und' / empty-token
+    counts on the Spark side — matching the DuckDB twins' CASE-WHEN
+    zeros — not ANSI-propagated NULLs (latent cross-engine divergence:
+    the committed fixtures carry no NULL text, so only this test and
+    the coalesce in ws_tokens guard the contract)."""
+    import duckdb
+    from usc_ds_relationextraction_spark.functions.text_analysis import (
+        filter_metrics, quality_metrics)
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the of and is a common english sentence "
+                        "with enough tokens to clear the length gate")],
+        "doc_id bigint, text string")
+    q = {r.doc_id: r for r in quality_metrics(docs).collect()}
+    assert q[1].n_tokens == 0 and q[1].quality_milli == 0
+    m = {r.doc_id: r for r in filter_metrics(docs).collect()}
+    assert (m[1].lang_pred, m[1].quality_milli, m[1].ws_tokens) == \
+        ("und", 0, 0)
+    # DuckDB twin on the same two rows agrees field-for-field
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1::BIGINT AS doc_id, "
+                "NULL::VARCHAR AS text")
+    from usc_ds_relationextraction_spark.plans.extended_queries import (
+        oracles)
+    row = con.execute(oracles()["text_quality"]).fetchone()
+    cols = [d[0] for d in con.description]
+    duck = dict(zip(cols, row))
+    assert duck["n_tokens"] == 0 and duck["quality_milli"] == 0
+    assert duck["quality_milli"] == q[1].quality_milli
+
+
 def test_corpus_filter_verdict_semantics(spark):
     """keep is exactly the conjunction of the three gates; drop_reason is
     the first failing gate in the documented priority; all four verdict

@@ -29,8 +29,14 @@ BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def ws_tokens(text: Column | str) -> Column:
+    # coalesce: NULL text tokenizes to the EMPTY array so every derived
+    # metric is a well-defined 0 (not NULL) — split(NULL) would propagate
+    # NULL through size()/comparisons under ANSI semantics and diverge
+    # from the DuckDB twins' CASE-WHEN zeros (same null-text contract as
+    # the dedup shingle path)
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(c, " "), lambda t: t != "")
+    return F.filter(F.split(F.coalesce(c, F.lit("")), " "),
+                    lambda t: t != "")
 
 
 def _stop_count(toks: Column, words: list[str]) -> Column:

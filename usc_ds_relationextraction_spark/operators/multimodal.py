@@ -106,7 +106,11 @@ def parse_wav_meta(payload: bytes) -> tuple[int, int, int] | None:
     while pos + 8 <= n:
         cid = payload[pos:pos + 4]
         sz = int.from_bytes(payload[pos + 4:pos + 8], "little")
-        if cid == b"fmt " and pos + 8 + 14 <= n:
+        if cid == b"fmt " and sz >= 16 and pos + 8 + 14 <= n:
+            # sz >= 16: a PCM fmt chunk is at least 16 bytes; a
+            # malformed shorter declaration would otherwise read the
+            # NEXT chunk's bytes as sample_rate/block_align and return
+            # garbage instead of the None-fallback contract
             ch = int.from_bytes(payload[pos + 10:pos + 12], "little")
             sr = int.from_bytes(payload[pos + 12:pos + 16], "little")
             ba = int.from_bytes(payload[pos + 20:pos + 22], "little")
@@ -257,10 +261,14 @@ def tiny_mp4(timescale: int, duration: int) -> bytes:
 
 
 # audio/video decode output: one unified row shape (mp4 maps
-# sample_rate := mvhd timescale, n_frames := mvhd duration ticks)
-AV_FEATURE_SCHEMA = ("doc_id bigint, media_type string, sample_rate int, "
-                     "channels int, n_frames int, duration_ms int, "
-                     "n_bytes int")
+# sample_rate := mvhd timescale, n_frames := mvhd duration ticks).
+# sample_rate/n_frames/duration_ms are bigint: mvhd timescale is a
+# full u32, mvhd v1 durations are u64 ticks, and a 4 GiB WAV data
+# chunk at block_align 1 exceeds 2^31 frames — int32 columns would
+# make the decoder overflow its own schema on real media under ANSI.
+AV_FEATURE_SCHEMA = ("doc_id bigint, media_type string, "
+                     "sample_rate bigint, channels int, n_frames bigint, "
+                     "duration_ms bigint, n_bytes bigint")
 
 
 def decode_av_features(media: DataFrame) -> DataFrame:

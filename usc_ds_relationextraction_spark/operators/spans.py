@@ -96,17 +96,20 @@ def align_spans_broadcast(turns: DataFrame, alias_df: DataFrame,
     """
     from .skew import BROADCAST_ROW_LIMIT
     # fail fast instead of OOMing the driver on a non-dictionary-scale
-    # dimension: take() is bounded (reads at most limit+1 rows) — a
-    # caller that trips this wants align_spans / align_spans_sharded
+    # dimension: probe with a bounded limit(N+1).count() FIRST — a
+    # count ships one long back to the driver however big the dim is,
+    # where the previous take(N+1) guard materialized up to N driver-side
+    # Row objects (multi-GB on long aliases) in exactly the oversized
+    # case it existed to reject.  Only after the probe passes is the
+    # (≤ hard_cap row) dimension collected.
     hard_cap = BROADCAST_ROW_LIMIT * 4
     probe = alias_df.select(alias_col).distinct()
-    rows = probe.take(hard_cap + 1)
-    if len(rows) > hard_cap:
+    if probe.limit(hard_cap + 1).count() > hard_cap:
         raise ValueError(
             f"align_spans_broadcast: alias dimension exceeds the "
             f"driver-collect cap ({hard_cap} distinct aliases) — use "
             f"align_spans (adaptive) or align_spans_sharded")
-    alias_rows = [r[0] for r in rows]
+    alias_rows = [r[0] for r in probe.collect()]
     sc = turns.sparkSession.sparkContext
     bc = sc.broadcast(build_alias_index(alias_rows))
 
@@ -219,7 +222,14 @@ def align_spans(turns: DataFrame, alias_df: DataFrame,
                broadcast_row_limit)
     probe = _SPAN_PROBE_CACHE.get(key)
     if probe is None:
-        probe = alias_df.limit(broadcast_row_limit + 1).count()
+        # probe DISTINCT aliases, not raw rows: what the broadcast path
+        # ships is the deduped dictionary, so a duplicate-heavy edge list
+        # (5M rows, 50k distinct aliases) must still route to the narrow
+        # broadcast scan, not pay the sharded path's corpus shuffle.  The
+        # distinct is one partial-aggregated pass over the dim — the same
+        # work _alias_index_table would do anyway on the sharded side.
+        probe = (alias_df.select(F.col(alias_col).alias("alias"))
+                 .distinct().limit(broadcast_row_limit + 1).count())
         _SPAN_PROBE_CACHE[key] = probe
     if probe <= broadcast_row_limit:
         return align_spans_broadcast(turns, alias_df, toks_col, alias_col)

@@ -194,16 +194,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------- oracles
 def _sql_doc_toks() -> str:
-    return ("doc_toks AS (SELECT doc_id, list_filter(string_split(text, ' '),"
+    # coalesce(text, ''): NULL text tokenizes to the EMPTY list (0 tokens,
+    # 0-valued metrics, -1 sigs) on both engines — without it DuckDB
+    # propagates NULL through len()/CASE differently than Spark's ANSI
+    # null semantics and the two sides diverge field-by-field on any
+    # corpus with a NULL document (same contract as ws_tokens /
+    # dedup's null-text handling)
+    return ("doc_toks AS (SELECT doc_id, "
+            "list_filter(string_split(coalesce(text, ''), ' '),"
             " t -> t <> '') AS toks FROM documents)")
 
 
-def _sql_shingles() -> str:
+def _sql_sh_lists() -> str:
+    """The ONE definition of the 3-token string-shingle CTE (requires
+    ``doc_toks`` in scope) — shared by :func:`_sql_shingles` and
+    :func:`_sql_lsh_cand` so the span/mask/canonical oracles can never
+    verify against divergent shingle definitions."""
     tri = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
-    return (f"{_sql_doc_toks()},\n"
-            "sh_lists AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+    return ("sh_lists AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
             f"list_transform(generate_series(1, len(toks) - 2), i -> {tri}) "
             "ELSE CAST([] AS VARCHAR[]) END AS sh FROM doc_toks)")
+
+
+def _sql_shingles() -> str:
+    return f"{_sql_doc_toks()},\n{_sql_sh_lists()}"
 
 
 def _sql_lsh_cand() -> str:
@@ -218,16 +232,11 @@ def _sql_lsh_cand() -> str:
         band_rows.append(
             f"SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sigs")
     bands = "\nUNION ALL\n".join(band_rows)
-    tri = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
     # string-shingle lists for downstream span oracles (the sigs chain is
-    # now token-hash based and no longer carries them; unused CTEs are
+    # token-hash based and no longer carries them; unused CTEs are
     # pruned by DuckDB, so the pairs-only oracle pays nothing)
-    sh_lists = ("sh_lists AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
-                f"list_transform(generate_series(1, len(toks) - 2), "
-                f"i -> {tri}) "
-                "ELSE CAST([] AS VARCHAR[]) END AS sh FROM doc_toks)")
     return f"""{_sql_minhash_sigs()},
-{sh_lists},
+{_sql_sh_lists()},
 bands AS (
 {bands}
 ),
@@ -573,13 +582,15 @@ FROM canon c JOIN lp ON c.doc_id = lp.doc_id
              JOIN qs ON c.doc_id = qs.doc_id
 """
 
-    # corpus_filter_stats: the same verdict SQL, rolled up per reason.
-    body = O["corpus_filter"].split("WITH RECURSIVE", 1)[1]
-    O["corpus_filter_stats"] = f"""WITH RECURSIVE{body.rsplit("SELECT", 1)[0]}
-, verdicts AS (SELECT{body.rsplit("SELECT", 1)[1]})
+    # corpus_filter_stats: the same verdict SQL rolled up per reason —
+    # wrapped whole as a derived table (DuckDB allows WITH RECURSIVE in a
+    # FROM subquery) so ANY future edit to the verdict query is inherited
+    # verbatim; the previous rsplit("SELECT")-based string surgery broke
+    # silently if the final projection ever gained a nested SELECT.
+    O["corpus_filter_stats"] = f"""
 SELECT drop_reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens
-FROM verdicts GROUP BY drop_reason
+FROM ({O["corpus_filter"]}) verdicts GROUP BY drop_reason
 """
 
     O["text_token_counts"] = f"""WITH {_sql_doc_toks()}
@@ -897,15 +908,16 @@ FROM read_parquet('{media_pq}/*.parquet')
     O["mm_decode_av"] = f"""
 SELECT doc_id, media_type,
        CAST(CASE WHEN media_type = 'audio/wav' THEN {wav_sr}
-                 ELSE {mp4_ts} END AS INT) AS sample_rate,
+                 ELSE {mp4_ts} END AS BIGINT) AS sample_rate,
        CAST(CASE WHEN media_type = 'audio/wav' THEN {wav_ch}
                  ELSE 0 END AS INT) AS channels,
        CAST(CASE WHEN media_type = 'audio/wav' THEN {wav_nf}
-                 ELSE {mp4_du} END AS INT) AS n_frames,
+                 ELSE {mp4_du} END AS BIGINT) AS n_frames,
        CAST(CASE WHEN media_type = 'audio/wav'
                  THEN {wav_nf} * 1000 // {wav_sr}
-                 ELSE {mp4_du} * 1000 // {mp4_ts} END AS INT) AS duration_ms,
-       n_bytes
+                 ELSE {mp4_du} * 1000 // {mp4_ts} END AS BIGINT)
+           AS duration_ms,
+       CAST(n_bytes AS BIGINT) AS n_bytes
 FROM read_parquet('{av_pq}/*.parquet')
 """
     return O
