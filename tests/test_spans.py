@@ -139,3 +139,27 @@ def test_align_spans_chooser(spark):
     assert got == want
     got2 = _rows(sp.align_spans(turns, aliases))
     assert got2 == want
+
+
+def test_chooser_probes_distinct_not_raw_rows(spark):
+    """A duplicate-heavy alias edge list (raw rows over the limit,
+    distinct dictionary under it) must still route to the broadcast
+    scan: what ships is the deduped dictionary, so the probe counts
+    DISTINCT aliases — the old raw-row probe misrouted this shape to
+    the sharded corpus shuffle."""
+    import pyspark.sql.functions as FF
+    from usc_ds_relationextraction_spark.operators import spans as sp
+    turns, aliases = _semantics_fixture(spark)
+    n_distinct = aliases.select("alias").distinct().count()
+    # 8 duplicate rows per alias; limit sits between distinct and raw
+    dup = aliases.crossJoin(spark.range(8).select(
+        FF.col("id").alias("_copy"))).drop("_copy")
+    limit = n_distinct + 1
+    assert dup.count() > limit > n_distinct
+    want = _rows(sp.align_spans_broadcast(turns, aliases))
+    sp._SPAN_PROBE_CACHE.clear()
+    got = _rows(sp.align_spans(turns, dup, broadcast_row_limit=limit))
+    assert got == want
+    # the one probe recorded for this dim counted the deduped dictionary
+    # (<= limit -> broadcast branch), not the raw duplicate rows
+    assert list(sp._SPAN_PROBE_CACHE.values()) == [n_distinct]
