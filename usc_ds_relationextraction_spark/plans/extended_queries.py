@@ -37,6 +37,68 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def cluster_canonical_docs(docs: DataFrame,
+                           min_jaccard_milli: int = 200) -> DataFrame:
+    """Document-level dedup final stage: verified near-dup pairs →
+    connected components → one canonical doc per cluster.  The 100 TB
+    corpus-dedup consumer ("keep one copy per duplicate group"):
+    transitive closure matters because near-dup is not transitive
+    pairwise (A≈B, B≈C may hold while jaccard(A,C) < τ — the group
+    is still one duplicate cluster).
+
+    Scale shape: edges = verified LSH pairs (sparse, banded — never
+    all-pairs); min-label propagation is rounds ≈ cluster diameter
+    (near-dup clusters are shallow star/chain graphs), each round one
+    equi-join + one partially-aggregated min (algebraic → map-side
+    combine absorbs hub-doc skew).  No driver-side graph state."""
+    from .kg_materialize import connected_components
+    ver = dedup.verified_near_dups(docs,
+                                   min_jaccard_milli=min_jaccard_milli)
+    verts = docs.select(F.col("doc_id").alias("entity_id"))
+    edges = ver.select(F.col("doc_a").alias("src"),
+                       F.col("doc_b").alias("dst")) \
+        .unionAll(ver.select(F.col("doc_b").alias("src"),
+                             F.col("doc_a").alias("dst")))
+    comp = connected_components(verts, edges)
+    return comp.select(
+        F.col("entity_id").alias("doc_id"),
+        F.col("component_id").alias("canonical_doc_id"),
+        (F.col("entity_id") == F.col("component_id"))
+        .cast("int").alias("is_canonical"))
+
+
+def corpus_filter_verdicts(docs: DataFrame, *,
+                           min_jaccard_milli: int = 200,
+                           quality_min: int = 450,
+                           keep_lang: str = "en") -> DataFrame:
+    """The end-to-end pretraining-corpus gate: per document a keep/drop
+    verdict composing the whole pipeline — duplicate-cluster
+    canonicalization (keep one copy per near-dup group), language ID,
+    and quality scoring — with the first failing gate recorded as
+    ``drop_reason`` (priority: duplicate > language > quality).
+
+    Scale shape: the three metric families are row-local and fused into
+    ONE corpus projection (:func:`...text_analysis.filter_metrics` — no
+    metric-table self-joins), so the only shuffles are the ones the
+    dedup stage already pays (banded LSH + min-label rounds) plus a
+    single 1:1 equi-join of metrics↔canonical flags on uniform doc_id.
+    Shared by the ``corpus_filter*`` driver queries and
+    ``scripts/corpus_filter_bench.py`` (the scale harness)."""
+    canon = cluster_canonical_docs(docs,
+                                   min_jaccard_milli=min_jaccard_milli)
+    j = filter_metrics(docs).join(canon, "doc_id")
+    dup = F.col("is_canonical") == 0
+    bad_lang = F.col("lang_pred") != keep_lang
+    low_q = F.col("quality_milli") < quality_min
+    reason = (F.when(dup, "duplicate").when(bad_lang, "language")
+              .when(low_q, "quality").otherwise("kept"))
+    return j.select(
+        "doc_id", "lang_pred", "quality_milli", "ws_tokens",
+        "canonical_doc_id", "is_canonical",
+        (~(dup | bad_lang | low_q)).cast("int").alias("keep"),
+        reason.alias("drop_reason"))
+
+
 # --------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -72,63 +134,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             candidates=dedup.lsh_candidate_pairs(docs))
     Q["dedup_mask_spans"] = mask_spans
 
-    def cluster_canonical(s, sf):
-        """Document-level dedup final stage: verified near-dup pairs →
-        connected components → one canonical doc per cluster.  The 100 TB
-        corpus-dedup consumer ("keep one copy per duplicate group"):
-        transitive closure matters because near-dup is not transitive
-        pairwise (A≈B, B≈C may hold while jaccard(A,C) < τ — the group
-        is still one duplicate cluster).
-
-        Scale shape: edges = verified LSH pairs (sparse, banded — never
-        all-pairs); min-label propagation is rounds ≈ cluster diameter
-        (near-dup clusters are shallow star/chain graphs), each round one
-        equi-join + one partially-aggregated min (algebraic → map-side
-        combine absorbs hub-doc skew).  No driver-side graph state."""
-        from .kg_materialize import connected_components
-        docs = _t(s, sf, "documents")
-        ver = dedup.verified_near_dups(docs, min_jaccard_milli=200)
-        verts = docs.select(F.col("doc_id").alias("entity_id"))
-        edges = ver.select(F.col("doc_a").alias("src"),
-                           F.col("doc_b").alias("dst")) \
-            .unionAll(ver.select(F.col("doc_b").alias("src"),
-                                 F.col("doc_a").alias("dst")))
-        comp = connected_components(verts, edges)
-        return comp.select(
-            F.col("entity_id").alias("doc_id"),
-            F.col("component_id").alias("canonical_doc_id"),
-            (F.col("entity_id") == F.col("component_id"))
-            .cast("int").alias("is_canonical"))
-    Q["dedup_cluster_canonical"] = cluster_canonical
+    # bodies live at module level (cluster_canonical_docs /
+    # corpus_filter_verdicts) so scripts/corpus_filter_bench.py drives
+    # the SAME composition at scale.  Thresholds here are corpus-
+    # calibrated constants (median quality_milli at sf0.01 is 462; 450
+    # keeps ~60%).
+    Q["dedup_cluster_canonical"] = lambda s, sf: cluster_canonical_docs(
+        _t(s, sf, "documents"))
 
     def corpus_filter(s, sf):
-        """The end-to-end pretraining-corpus gate: per document a
-        keep/drop verdict composing the whole pipeline — duplicate-
-        cluster canonicalization (keep one copy per near-dup group),
-        language ID, and quality scoring — with the first failing gate
-        recorded as ``drop_reason`` (priority: duplicate > language >
-        quality).
-
-        Scale shape: the three metric families are row-local and fused
-        into ONE corpus projection (:func:`...filter_metrics` — no
-        metric-table self-joins), so the only shuffles are the ones the
-        dedup stage already pays (banded LSH + min-label rounds) plus a
-        single 1:1 equi-join of metrics↔canonical flags on uniform
-        doc_id.  Thresholds are corpus-calibrated constants (median
-        quality_milli at sf0.01 is 462; 450 keeps ~60%)."""
-        docs = _t(s, sf, "documents")
-        canon = cluster_canonical(s, sf)
-        j = filter_metrics(docs).join(canon, "doc_id")
-        dup = F.col("is_canonical") == 0
-        bad_lang = F.col("lang_pred") != "en"
-        low_q = F.col("quality_milli") < 450
-        reason = (F.when(dup, "duplicate").when(bad_lang, "language")
-                  .when(low_q, "quality").otherwise("kept"))
-        return j.select(
-            "doc_id", "lang_pred", "quality_milli", "ws_tokens",
-            "canonical_doc_id", "is_canonical",
-            (~(dup | bad_lang | low_q)).cast("int").alias("keep"),
-            reason.alias("drop_reason"))
+        return corpus_filter_verdicts(_t(s, sf, "documents"))
     Q["corpus_filter"] = corpus_filter
 
     def corpus_filter_stats(s, sf):
