@@ -363,9 +363,85 @@ def _executor_mode(n_turns: int) -> None:
     print(json.dumps(out))
 
 
+def _datascale_mode(sizes: list[int]) -> None:
+    """Corpus-SIZE scaling (``--mode datascale``) — the data axis the
+    N→4N modes hold fixed.  The 100 TB claim needs both: parallelism
+    scaling (executors mode) AND per-turn cost flat in corpus size (no
+    super-linear stage hiding below the test sizes — a quadratic join
+    or a driver-side accumulation shows up here as rising sec/turn long
+    before it OOMs).  Each size's corpus is materialized once outside
+    the timers, then the end-to-end extract pipeline runs at local[hi]
+    in a FRESH subprocess (own JVM — no heap/JIT inheritance between
+    sizes), warm-up + best-of-REPEATS inside.  One JSONL row carries
+    every size plus the flatness ratio (largest sec/turn ÷ smallest);
+    loadavg is sampled across the timed phase with the same budget rule
+    as executor mode."""
+    import subprocess
+    hi = LEVELS[1]
+    samples: list[float] = []
+    stop = threading.Event()
+
+    def _sample() -> None:
+        while True:
+            with open("/proc/loadavg") as fh:
+                samples.append(float(fh.read().split()[0]))
+            if stop.wait(5.0):
+                return
+
+    results = []
+    for n in sizes:
+        env = dict(os.environ, SCALING_NCONVS=str(n),
+                   SCALING_REPEATS=str(REPEATS), SCALING_STAGE=STAGE)
+        prep = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--prep"],
+            capture_output=True, text=True, check=True, env=env)
+        n_turns = int(prep.stdout.strip().splitlines()[-1])
+        sampler = threading.Thread(target=_sample, daemon=True)
+        stop.clear()
+        sampler.start()
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--level", str(hi)],
+            capture_output=True, text=True, check=True, env=env)
+        stop.set()
+        sampler.join(timeout=6.0)
+        wall = float(out.stdout.strip().splitlines()[-1])
+        results.append({"n_convs": n, "n_turns": n_turns,
+                        "wall_sec": round(wall, 2),
+                        "turns_per_sec": round(n_turns / wall, 1)})
+        print(json.dumps(results[-1]))
+    per_turn = [r["wall_sec"] / r["n_turns"] for r in results]
+    load_peak = max(samples) if samples else 0.0
+    load_budget = hi * 1.25
+    row = {
+        "stage": STAGE, "mode": "datascale", "level_cores": hi,
+        "repeats": REPEATS, "results": results,
+        "flatness_ratio_maxmin": round(max(per_turn) / min(per_turn), 3),
+        "loadavg_peak_during_timed": round(load_peak, 2),
+        "loadavg_budget": load_budget,
+        "contended": load_peak > load_budget,
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_SCALING.jsonl"), "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row))
+
+
 def main() -> None:
     if "--level" in sys.argv:
         print(run_level(int(sys.argv[sys.argv.index("--level") + 1])))
+        return
+    if "--prep" in sys.argv:
+        print(prepare())
+        return
+    if "--mode" in sys.argv and \
+            sys.argv[sys.argv.index("--mode") + 1] == "datascale":
+        sizes = [int(x) for x in (
+            sys.argv[sys.argv.index("--sizes") + 1].split(",")
+            if "--sizes" in sys.argv else
+            os.environ.get("SCALING_SIZES",
+                           "400000,1200000,4000000").split(","))]
+        _datascale_mode(sizes)
         return
     n_turns = prepare()
     if "--mode" in sys.argv:
