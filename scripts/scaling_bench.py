@@ -412,7 +412,10 @@ def _datascale_mode(sizes: list[int]) -> None:
         print(json.dumps(results[-1]))
     per_turn = [r["wall_sec"] / r["n_turns"] for r in results]
     load_peak = max(samples) if samples else 0.0
-    load_budget = hi * 1.25
+    # pandas-UDF stages demand ~2 cores per task slot (JVM task thread +
+    # its Python worker process), so the self-load budget doubles — the
+    # detector flags EXTERNAL load, not the stage's own worker fleet
+    load_budget = hi * (2.5 if STAGE == "features" else 1.25)
     row = {
         "stage": STAGE, "mode": "datascale", "level_cores": hi,
         "repeats": REPEATS, "results": results,
