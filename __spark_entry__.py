@@ -475,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q.update(gate_round4.queries())
     from usc_ds_relationextraction_spark.plans import gate_round5
     Q.update(gate_round5.queries())
+    from usc_ds_relationextraction_spark.plans import curation_queries
+    Q.update(curation_queries.queries())
     return _curated(Q)
 
 
@@ -520,6 +522,9 @@ _LEAD = [
     "m1_sgns_epoch", "m2_ple_epoch", "m3_transe_epoch",
     "kg_entity_nodes", "kg_canonical_edges", "kg_entity_resolution",
     "kg_collapsed_edges", "mm_decode_real",
+    # round-5 session-2 curation family (operators/curation.py)
+    "cur_decontam", "cur_pii_scrub", "cur_repetition",
+    "cur_sample_stratified", "cur_pack_sequences",
 ]
 
 
@@ -781,4 +786,6 @@ FROM (
     O.update(gate_round4.oracles())
     from usc_ds_relationextraction_spark.plans import gate_round5
     O.update(gate_round5.oracles())
+    from usc_ds_relationextraction_spark.plans import curation_queries
+    O.update(curation_queries.oracles())
     return O

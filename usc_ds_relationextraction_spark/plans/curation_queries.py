@@ -1,0 +1,173 @@
+"""Oracle-gated queries for the curation family
+(:mod:`..operators.curation`): decontamination, PII scrubbing,
+repetition metrics, stratified sampling, sequence packing.
+
+Every query has an exact DuckDB twin below — same md5-derived hashing
+(:mod:`..functions.hashing`), same null-text contract as
+``extended_queries._sql_doc_toks`` (NULL text → empty token list →
+0-valued metrics on both engines), same column names and integer types.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation as C
+from .extended_queries import _sql_doc_toks, _t
+
+# ---------------------------------------------------------------------------
+# deterministic PII augmentation (the synthetic docs carry no PII, so the
+# query plants some — a pure function of doc_id, mirrored in the oracle)
+
+_PII_PLANTS: list[tuple[int, str]] = [
+    (7, " contact user7@example.com"),
+    (11, " from 192.168.1.77"),
+    (13, " ssn 123-45-6789"),
+    (17, " call 555-867-5309"),
+]
+
+
+def _augment_pii(docs: DataFrame) -> DataFrame:
+    aug = F.coalesce(F.col("text"), F.lit(""))
+    for mod, s in _PII_PLANTS:
+        aug = F.concat(aug, F.when(F.pmod("doc_id", F.lit(mod)) == 0,
+                                   F.lit(s)).otherwise(F.lit("")))
+    return docs.withColumn("text", aug)
+
+
+def _sql_pii_aug() -> str:
+    parts = " || ".join(
+        f"CASE WHEN doc_id % {m} = 0 THEN '{s}' ELSE '' END"
+        for m, s in _PII_PLANTS)
+    return ("aug AS (SELECT doc_id, coalesce(text, '') || "
+            f"{parts} AS text FROM documents)")
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def decontam(s: SparkSession, sf: str) -> DataFrame:
+        train, ev = C.split_eval(_t(s, sf, "documents"))
+        return C.decontaminate(train, ev)
+
+    def pii(s: SparkSession, sf: str) -> DataFrame:
+        return C.pii_metrics(_augment_pii(_t(s, sf, "documents")))
+
+    Q["cur_decontam"] = decontam
+    Q["cur_pii_scrub"] = pii
+    Q["cur_repetition"] = lambda s, sf: C.repetition_metrics(
+        _t(s, sf, "documents"))
+    Q["cur_sample_stratified"] = lambda s, sf: C.stratified_sample(
+        _t(s, sf, "documents"))
+    Q["cur_pack_sequences"] = lambda s, sf: C.pack_sequences(
+        _t(s, sf, "documents"))
+    return Q
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins
+
+
+def _sql_sh5() -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]"
+                              for j in range(C.DECONTAM_NGRAM))
+    k = C.DECONTAM_NGRAM - 1
+    return (f"sh5 AS (SELECT doc_id, CASE WHEN len(toks) >= "
+            f"{C.DECONTAM_NGRAM} THEN list_transform("
+            f"generate_series(1, len(toks) - {k}), i -> {gram}) "
+            "ELSE CAST([] AS VARCHAR[]) END AS sh FROM doc_toks)")
+
+
+def _sql_gram(n: int, name: str) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]"
+                              for j in range(n))
+    return (f"{name} AS (SELECT doc_id, CASE WHEN len(toks) >= {n} "
+            f"THEN list_transform(generate_series(1, len(toks) - {n - 1}),"
+            f" i -> {gram}) ELSE CAST([] AS VARCHAR[]) END AS g "
+            "FROM doc_toks)")
+
+
+_DUP_MILLI = ("CASE WHEN len({a}) > 0 THEN CAST(floor((len({a}) - "
+              "len(list_distinct({a}))) * 1000 / len({a})) AS BIGINT) "
+              "ELSE 0 END")
+
+
+def oracles() -> dict[str, str]:
+    O: dict[str, str] = {}
+    m = C.EVAL_MOD
+
+    O["cur_decontam"] = f"""WITH {_sql_doc_toks()},
+{_sql_sh5()},
+tr_sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh5
+          WHERE doc_id % {m} <> 0),
+ev_sh AS (SELECT DISTINCT unnest(sh) AS s FROM sh5
+          WHERE doc_id % {m} = 0),
+hits AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_hits
+         FROM tr_sh JOIN ev_sh USING (s) GROUP BY doc_id),
+base AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_ngrams FROM sh5
+         WHERE doc_id % {m} <> 0)
+SELECT base.doc_id, n_ngrams,
+       CAST(coalesce(n_hits, 0) AS INTEGER) AS n_hits,
+       CAST(coalesce(n_hits, 0) > 0 AS INTEGER) AS contaminated
+FROM base LEFT JOIN hits USING (doc_id)"""
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER)"
+        f" AS n_{name}" for name, pat, _ in C.PII_PATTERNS)
+    total = " + ".join(f"n_{name}" for name, _, _ in C.PII_PATTERNS)
+    red = "text"
+    for _, pat, repl in C.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    O["cur_pii_scrub"] = f"""WITH {_sql_pii_aug()},
+c AS (SELECT doc_id, {counts}, md5({red}) AS redacted_md5 FROM aug)
+SELECT doc_id, {", ".join(f"n_{n}" for n, _, _ in C.PII_PATTERNS)},
+       CAST({total} AS INTEGER) AS pii_total, redacted_md5 FROM c"""
+
+    O["cur_repetition"] = f"""WITH {_sql_doc_toks()},
+{_sql_gram(2, "g2")},
+{_sql_gram(3, "g3")},
+top AS (SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, t, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(toks) AS t FROM doc_toks)
+    GROUP BY doc_id, t) GROUP BY doc_id)
+SELECT d.doc_id, CAST(len(d.toks) AS INTEGER) AS n_tok,
+  {_DUP_MILLI.format(a="d.toks")} AS dup_tok_milli,
+  {_DUP_MILLI.format(a="g2.g")} AS dup2_milli,
+  {_DUP_MILLI.format(a="g3.g")} AS dup3_milli,
+  CASE WHEN len(d.toks) > 0 THEN CAST(floor(coalesce(top_c, 0) * 1000
+       / len(d.toks)) AS BIGINT) ELSE 0 END AS top_tok_milli
+FROM doc_toks d JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
+LEFT JOIN top USING (doc_id)"""
+
+    h_rate = "(('0x' || substr(md5('rate|' || source), 1, 15))::BIGINT)"
+    h_draw = (f"(('0x' || substr(md5('{C.SAMPLE_SALT}|' || "
+              "CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)")
+    O["cur_sample_stratified"] = f"""SELECT doc_id, stratum, rate_milli,
+       CAST(draw AS INTEGER) AS draw
+FROM (SELECT doc_id, source AS stratum,
+             CAST(100 + ({h_rate} % 900) AS INTEGER) AS rate_milli,
+             {h_draw} % 1000 AS draw
+      FROM documents)
+WHERE draw < rate_milli"""
+
+    b = C.PACK_BUDGET
+    O["cur_pack_sequences"] = f"""WITH {_sql_doc_toks()},
+t AS (SELECT d.doc_id, s.source, CAST(len(d.toks) AS BIGINT) AS n_tok
+      FROM doc_toks d JOIN documents s USING (doc_id))
+SELECT doc_id, source AS stratum, n_tok,
+  CAST(SUM(n_tok) OVER w - n_tok AS BIGINT) AS start_off,
+  CAST(floor((SUM(n_tok) OVER w - n_tok) / {b}) AS BIGINT) AS chunk_id,
+  CASE WHEN n_tok > 0 THEN CAST(floor((SUM(n_tok) OVER w - 1) / {b})
+       <> floor((SUM(n_tok) OVER w - n_tok) / {b}) AS INTEGER)
+       ELSE 0 END AS straddle
+FROM t
+WINDOW w AS (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+    return O
