@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import (MASK30, MASK60, h64, minhash_mix_consts,
                                  shingle_coeffs)
+from ..functions.hof import let
 
 DEFAULT_PERMS = 8
 DEFAULT_BANDS = 4  # rows-per-band = perms/bands
@@ -41,13 +42,21 @@ def tokens_of(text: Column | str) -> Column:
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings (empty array when too short)."""
-    k = F.size(toks) - (n - 1)
-    return F.when(
-        k > 0,
-        F.transform(F.sequence(F.lit(1), k),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    ).otherwise(F.array().cast("array<string>"))
+    """Word n-gram shingles as strings (empty array when too short).
+
+    ``toks`` is let-bound before use: the slice lambda references it per
+    shingle, and an unbound expression (e.g. a ``split()``) would be
+    CollapseProject-inlined and re-evaluated O(tokens) times per row —
+    measured at 15× on the curation repetition metrics (see
+    :mod:`..functions.hof`)."""
+    def _sh(t: Column) -> Column:
+        k = F.size(t) - (n - 1)
+        return F.when(
+            k > 0,
+            F.transform(F.sequence(F.lit(1), k),
+                        lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+        ).otherwise(F.array().cast("array<string>"))
+    return let(toks, _sh)
 
 
 def _mix60(h: Column, a: int, b: int = 0) -> Column:
@@ -66,22 +75,33 @@ def shingle_hashes(toks: Column, ngram: int = 3) -> Column:
     per window, ``(Σ_j h64(t_j)·C_j) mod 2**60`` — md5 per TOKEN, not per
     joined shingle string (:func:`..functions.hashing.shingle_coeffs`)."""
     coeffs = shingle_coeffs(ngram)
-    hs = F.transform(toks, lambda t: h64(t))
 
-    def win(i: Column) -> Column:
-        # CAUTION: HOF lambdas must take exactly the declared arity — an
-        # extra default-arg parameter makes PySpark bind it to the
-        # element-index column.  Close over coeffs instead.
-        acc = None
-        for j, c in enumerate(coeffs):
-            term = _mix60(F.element_at(hs, i + F.lit(j)), c)
-            acc = term if acc is None else \
-                (acc + term).bitwiseAND(F.lit(MASK60))
-        return acc
+    def _over(t: Column) -> Column:
+        def _windows(hs: Column) -> Column:
+            def win(i: Column) -> Column:
+                # CAUTION: HOF lambdas must take exactly the declared
+                # arity — an extra default-arg parameter makes PySpark
+                # bind it to the element-index column.  Close over
+                # coeffs instead.
+                acc = None
+                for j, c in enumerate(coeffs):
+                    term = _mix60(F.element_at(hs, i + F.lit(j)), c)
+                    acc = term if acc is None else \
+                        (acc + term).bitwiseAND(F.lit(MASK60))
+                return acc
 
-    k = F.size(toks) - (ngram - 1)
-    return F.when(k > 0, F.transform(F.sequence(F.lit(1), k), win)) \
-        .otherwise(F.array().cast("array<bigint>"))
+            k = F.size(t) - (ngram - 1)
+            return F.when(k > 0,
+                          F.transform(F.sequence(F.lit(1), k), win)) \
+                .otherwise(F.array().cast("array<bigint>"))
+
+        # hs let-bound: win() back-references it per (window, coeff) —
+        # unbound, CollapseProject inlined the whole md5-per-token
+        # transform at EVERY element_at (O(tokens²)·md5 per row, the
+        # round-3 HOF-sketch pathology in miniature)
+        return let(F.transform(t, lambda x: h64(x)), _windows)
+
+    return let(toks, _over)
 
 
 def minhash_signature(shg: Column,

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import curation as C
-from .extended_queries import _sql_doc_toks, _t
+from .extended_queries import _h_sql, _sql_doc_toks, _t
 
 # ---------------------------------------------------------------------------
 # deterministic PII augmentation (the synthetic docs carry no PII, so the
@@ -75,23 +75,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB twins
 
 
-def _sql_sh5() -> str:
-    gram = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]"
-                              for j in range(C.DECONTAM_NGRAM))
-    k = C.DECONTAM_NGRAM - 1
-    return (f"sh5 AS (SELECT doc_id, CASE WHEN len(toks) >= "
-            f"{C.DECONTAM_NGRAM} THEN list_transform("
-            f"generate_series(1, len(toks) - {k}), i -> {gram}) "
-            "ELSE CAST([] AS VARCHAR[]) END AS sh FROM doc_toks)")
-
-
-def _sql_gram(n: int, name: str) -> str:
-    gram = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]"
-                              for j in range(n))
-    return (f"{name} AS (SELECT doc_id, CASE WHEN len(toks) >= {n} "
-            f"THEN list_transform(generate_series(1, len(toks) - {n - 1}),"
-            f" i -> {gram}) ELSE CAST([] AS VARCHAR[]) END AS g "
-            "FROM doc_toks)")
+def _sql_hash_gram(n: int, name: str) -> str:
+    """Rolling-hash n-gram list CTE — the exact integer arithmetic of
+    ``operators.dedup.shingle_hashes`` (requires ``tok_h`` in scope).
+    Summing all window terms before the single ``& MASK60`` equals the
+    Spark side's mask-per-addition (mod arithmetic; sum < 2⁶² fits
+    int64)."""
+    from ..functions.hashing import (MASK60, minhash_mix_sql,
+                                     shingle_coeffs)
+    terms = " + ".join(minhash_mix_sql(f"th[i + {j}]", c)
+                       for j, c in enumerate(shingle_coeffs(n)))
+    return (f"{name} AS (SELECT doc_id, CASE WHEN len(th) >= {n} "
+            f"THEN list_transform(generate_series(1, len(th) - {n - 1}),"
+            f" i -> (({terms}) & {MASK60})) "
+            "ELSE CAST([] AS BIGINT[]) END AS g FROM tok_h)")
 
 
 _DUP_MILLI = ("CASE WHEN len({a}) > 0 THEN CAST(floor((len({a}) - "
@@ -104,14 +101,17 @@ def oracles() -> dict[str, str]:
     m = C.EVAL_MOD
 
     O["cur_decontam"] = f"""WITH {_sql_doc_toks()},
-{_sql_sh5()},
-tr_sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh5
+tok_h AS (SELECT doc_id, toks, list_transform(toks, t -> {_h_sql('t')})
+          AS th FROM doc_toks),
+{_sql_hash_gram(C.DECONTAM_NGRAM, "sh5")},
+tr_sh AS (SELECT DISTINCT doc_id, unnest(g) AS s FROM sh5
           WHERE doc_id % {m} <> 0),
-ev_sh AS (SELECT DISTINCT unnest(sh) AS s FROM sh5
+ev_sh AS (SELECT DISTINCT unnest(g) AS s FROM sh5
           WHERE doc_id % {m} = 0),
 hits AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_hits
          FROM tr_sh JOIN ev_sh USING (s) GROUP BY doc_id),
-base AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_ngrams FROM sh5
+base AS (SELECT doc_id, CAST(greatest(len(toks) - {C.DECONTAM_NGRAM - 1},
+         0) AS INTEGER) AS n_ngrams FROM doc_toks
          WHERE doc_id % {m} <> 0)
 SELECT base.doc_id, n_ngrams,
        CAST(coalesce(n_hits, 0) AS INTEGER) AS n_hits,
@@ -131,8 +131,10 @@ SELECT doc_id, {", ".join(f"n_{n}" for n, _, _ in C.PII_PATTERNS)},
        CAST({total} AS INTEGER) AS pii_total, redacted_md5 FROM c"""
 
     O["cur_repetition"] = f"""WITH {_sql_doc_toks()},
-{_sql_gram(2, "g2")},
-{_sql_gram(3, "g3")},
+tok_h AS (SELECT doc_id, toks, list_transform(toks, t -> {_h_sql('t')})
+          AS th FROM doc_toks),
+{_sql_hash_gram(2, "g2")},
+{_sql_hash_gram(3, "g3")},
 top AS (SELECT doc_id, max(c) AS top_c FROM (
     SELECT doc_id, t, COUNT(*) AS c FROM (
         SELECT doc_id, unnest(toks) AS t FROM doc_toks)
