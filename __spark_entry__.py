@@ -524,7 +524,7 @@ _LEAD = [
     "kg_collapsed_edges", "mm_decode_real",
     # round-5 session-2 curation family (operators/curation.py)
     "cur_decontam", "cur_pii_scrub", "cur_repetition",
-    "cur_sample_stratified", "cur_pack_sequences",
+    "cur_sample_stratified", "cur_pack_sequences", "cur_corpus_gate",
 ]
 
 

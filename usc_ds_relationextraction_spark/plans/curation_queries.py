@@ -46,6 +46,10 @@ def _sql_pii_aug() -> str:
             f"{parts} AS text FROM documents)")
 
 
+# repetition gate threshold (milli): corpus-calibrated — sf0.01
+# top_tok_milli p90 is 139, so 150 drops the genuinely repetitive tail
+GATE_REP_MILLI = 150
+
 # ---------------------------------------------------------------------------
 # queries
 
@@ -60,8 +64,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pii(s: SparkSession, sf: str) -> DataFrame:
         return C.pii_metrics(_augment_pii(_t(s, sf, "documents")))
 
+    def corpus_gate(s: SparkSession, sf: str) -> DataFrame:
+        """The EXTENDED pretraining-corpus gate: the corpus_filter
+        verdict (dedup-canonical + language + quality) composed with the
+        curation signals — eval-set contamination, repetition, and PII
+        counts — into one per-doc keep/drop row.  Drop priority:
+        duplicate > contaminated > language > quality > repetition
+        (PII never drops — it reports for downstream redaction, the
+        production semantics).  Eval-split docs are not training
+        candidates and carry no verdict (inner join on the decontam
+        side).  All four signal families join 1:1 on doc_id (uniform
+        key); dedup's shuffles are the only non-trivial ones, exactly
+        as in corpus_filter."""
+        from .extended_queries import corpus_filter_verdicts
+        docs = _t(s, sf, "documents")
+        train, ev = C.split_eval(docs)
+        base = corpus_filter_verdicts(docs)
+        dec = C.decontaminate(train, ev).select("doc_id", "n_hits")
+        rep = C.repetition_metrics(docs).select(
+            "doc_id", "top_tok_milli", "dup3_milli")
+        pii_df = C.pii_metrics(_augment_pii(docs)).select(
+            "doc_id", "pii_total")
+        j = (base.join(dec, "doc_id").join(rep, "doc_id")
+             .join(pii_df, "doc_id"))
+        dup = F.col("is_canonical") == 0
+        cont = F.col("n_hits") > 0
+        bad_lang = F.col("lang_pred") != "en"
+        low_q = F.col("quality_milli") < 450
+        rep_bad = (F.col("top_tok_milli") > GATE_REP_MILLI) | \
+            (F.col("dup3_milli") > GATE_REP_MILLI)
+        reason = (F.when(dup, "duplicate").when(cont, "contaminated")
+                  .when(bad_lang, "language").when(low_q, "quality")
+                  .when(rep_bad, "repetition").otherwise("kept"))
+        return j.select(
+            "doc_id", "lang_pred", "quality_milli", "is_canonical",
+            "n_hits", "top_tok_milli", "dup3_milli", "pii_total",
+            (~(dup | cont | bad_lang | low_q | rep_bad)).cast("int")
+            .alias("keep"), reason.alias("drop_reason"))
+
     Q["cur_decontam"] = decontam
     Q["cur_pii_scrub"] = pii
+    Q["cur_corpus_gate"] = corpus_gate
     Q["cur_repetition"] = lambda s, sf: C.repetition_metrics(
         _t(s, sf, "documents"))
     Q["cur_sample_stratified"] = lambda s, sf: C.stratified_sample(
@@ -158,6 +201,30 @@ FROM (SELECT doc_id, source AS stratum,
              {h_draw} % 1000 AS draw
       FROM documents)
 WHERE draw < rate_milli"""
+
+    # the extended gate composes the ALREADY-EXACT twins as derived
+    # tables (DuckDB allows WITH RECURSIVE inside a subquery), so the
+    # composition can never drift from its parts
+    from .extended_queries import oracles as _ext_oracles
+    base_sql = _ext_oracles()["corpus_filter"]
+    g = GATE_REP_MILLI
+    O["cur_corpus_gate"] = f"""SELECT b.doc_id, b.lang_pred,
+  b.quality_milli, b.is_canonical, d.n_hits, r.top_tok_milli,
+  r.dup3_milli, p.pii_total,
+  CAST(b.is_canonical = 1 AND d.n_hits = 0 AND b.lang_pred = 'en'
+       AND b.quality_milli >= 450 AND r.top_tok_milli <= {g}
+       AND r.dup3_milli <= {g} AS INTEGER) AS keep,
+  CASE WHEN b.is_canonical = 0 THEN 'duplicate'
+       WHEN d.n_hits > 0 THEN 'contaminated'
+       WHEN b.lang_pred <> 'en' THEN 'language'
+       WHEN b.quality_milli < 450 THEN 'quality'
+       WHEN r.top_tok_milli > {g} OR r.dup3_milli > {g}
+            THEN 'repetition'
+       ELSE 'kept' END AS drop_reason
+FROM ({base_sql}) b
+JOIN ({O["cur_decontam"]}) d ON b.doc_id = d.doc_id
+JOIN ({O["cur_repetition"]}) r ON b.doc_id = r.doc_id
+JOIN ({O["cur_pii_scrub"]}) p ON b.doc_id = p.doc_id"""
 
     b = C.PACK_BUDGET
     O["cur_pack_sequences"] = f"""WITH {_sql_doc_toks()},
