@@ -525,6 +525,7 @@ _LEAD = [
     # round-5 session-2 curation family (operators/curation.py)
     "cur_decontam", "cur_pii_scrub", "cur_repetition",
     "cur_sample_stratified", "cur_pack_sequences", "cur_corpus_gate",
+    "cur_token_rarity",
 ]
 
 

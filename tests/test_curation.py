@@ -68,6 +68,19 @@ def test_repetition_metrics(spark):
     assert out[3]["n_tok"] == 0 and out[3]["top_tok_milli"] == 0
 
 
+def test_token_rarity(spark):
+    # corpus: "a" appears 6 of 8 tokens (750000 ppm), "b"/"c" 125000 each
+    docs = _docs(spark, [
+        (0, "a a a a", "s"),       # all dominant: 750000
+        (1, "a a b c", "s"),       # (750000*2 + 125000*2) div 4 = 437500
+        (2, "", "s"),
+    ])
+    out = {r["doc_id"]: r for r in C.token_rarity(docs).collect()}
+    assert out[0]["rarity_ppm"] == 750000
+    assert out[1]["rarity_ppm"] == 437500
+    assert out[2]["rarity_ppm"] == 0 and out[2]["n_tok"] == 0
+
+
 def test_stratified_sample_deterministic_and_rate_bounded(spark):
     rows = [(i, f"text {i}", f"src{i % 4}") for i in range(400)]
     docs = _docs(spark, rows)

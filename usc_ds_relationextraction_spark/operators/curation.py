@@ -189,6 +189,45 @@ def repetition_metrics(docs: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# corpus-statistics scoring (unigram-LM-style quality proxy, integer-safe)
+
+
+def token_rarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc mean token frequency in ppm — the integer-exact analog of
+    unigram-LM quality scoring (docs made of corpus-rare tokens score
+    low; boilerplate made of corpus-dominant tokens scores high).
+
+    Transcendental ``ln`` is banned from the gate (last-ulp drift across
+    engines), so the score is pure integer arithmetic: per token
+    ``f_ppm = (count(token)·10⁶) div N`` over the whole corpus, per doc
+    ``rarity_ppm = Σ f_ppm div n_tok``.
+
+    Scale: pass 1 builds the corpus frequency table (one map-side-
+    combined groupBy on tokens — vocabulary-sized output); pass 2
+    broadcast-joins it back to the exploded corpus (vocabularies fit in
+    a broadcast even at 100 TB corpora; a Zipf head absorbs the skew in
+    the partial agg) and re-aggregates per doc.
+    """
+    toks = (docs.select("doc_id", F.explode(ws_tokens(text_col))
+                        .alias("tok")))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    f_ppm = (freq.crossJoin(F.broadcast(total))
+             .select("tok", F.expr("(c * 1000000) div n_total")
+                     .cast("bigint").alias("f_ppm")))
+    per_doc = (toks.join(F.broadcast(f_ppm), "tok")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_tok"),
+                    F.sum("f_ppm").alias("sum_ppm")))
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tok", F.lit(0)).cast("int")
+                    .alias("n_tok"),
+                    F.coalesce(F.expr("sum_ppm div n_tok"), F.lit(0))
+                    .cast("bigint").alias("rarity_ppm")))
+
+
+# ---------------------------------------------------------------------------
 # stratified sampling
 
 SAMPLE_SALT = "smp1"

@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["cur_corpus_gate"] = corpus_gate
     Q["cur_repetition"] = lambda s, sf: C.repetition_metrics(
         _t(s, sf, "documents"))
+    Q["cur_token_rarity"] = lambda s, sf: C.token_rarity(
+        _t(s, sf, "documents"))
     Q["cur_sample_stratified"] = lambda s, sf: C.stratified_sample(
         _t(s, sf, "documents"))
     Q["cur_pack_sequences"] = lambda s, sf: C.pack_sequences(
@@ -190,6 +192,18 @@ SELECT d.doc_id, CAST(len(d.toks) AS INTEGER) AS n_tok,
        / len(d.toks)) AS BIGINT) ELSE 0 END AS top_tok_milli
 FROM doc_toks d JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
 LEFT JOIN top USING (doc_id)"""
+
+    O["cur_token_rarity"] = f"""WITH {_sql_doc_toks()},
+tk AS (SELECT doc_id, unnest(toks) AS tok FROM doc_toks),
+freq AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+tot AS (SELECT SUM(c) AS n_total FROM freq),
+fp AS (SELECT tok, CAST((c * 1000000) // n_total AS BIGINT) AS f_ppm
+       FROM freq, tot),
+pd AS (SELECT doc_id, COUNT(*) AS n_tok, SUM(f_ppm) AS sum_ppm
+       FROM tk JOIN fp USING (tok) GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(pd.n_tok, 0) AS INTEGER) AS n_tok,
+       CAST(coalesce(pd.sum_ppm // pd.n_tok, 0) AS BIGINT) AS rarity_ppm
+FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)"""
 
     h_rate = "(('0x' || substr(md5('rate|' || source), 1, 15))::BIGINT)"
     h_draw = (f"(('0x' || substr(md5('{C.SAMPLE_SALT}|' || "
