@@ -24,12 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from usc_ds_relationextraction_spark.functions.hof import let  # noqa: E402
 from usc_ds_relationextraction_spark.functions.text_analysis import (  # noqa: E402
     ws_tokens)
 from usc_ds_relationextraction_spark.operators import curation as C  # noqa: E402
-from usc_ds_relationextraction_spark.operators.dedup import (  # noqa: E402
-    shingles)
 from usc_ds_relationextraction_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -38,7 +35,9 @@ OUT = os.path.join(REPO, "BENCH_CURATION.jsonl")
 
 def synth(spark, n: int):
     path = f"/tmp/curation_bench/docs_{n}.parquet"
-    if not os.path.exists(path):
+    # _SUCCESS guard: a run killed mid-write leaves the dir existing but
+    # partial — bare exists() would silently bench a truncated corpus
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tok = ("concat('w', pmod(cast(conv(substring(md5(concat(doc_id, "
                "'_', i)), 1, 15), 16, 10) as bigint), 500))")
         (spark.range(n).select(
@@ -72,6 +71,21 @@ def timed(label: str, df, rows: int, results: list):
     print(json.dumps(row), flush=True)
 
 
+def _unbound_shingles(toks, n):
+    """The PRE-FIX shingle builder, preserved verbatim so the naive twin
+    keeps measuring the real pathology: the slice lambda references the
+    unbound ``toks`` expression, so CollapseProject inlines the full
+    split() per shingle — O(tokens²) per row.  The library version
+    (`dedup.shingles`) now let-binds its input and no longer exhibits
+    this."""
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def repetition_naive(docs):
     """The pre-fix formulation: unbound string-shingle HOFs (each
     reference re-evaluates the full split+transform subtree)."""
@@ -86,8 +100,8 @@ def repetition_naive(docs):
     row_local = docs.select(
         "doc_id", F.size(toks).cast("int").alias("n_tok"),
         dup(toks).alias("dup_tok_milli"),
-        dup(shingles(toks, 2)).alias("dup2_milli"),
-        dup(shingles(toks, 3)).alias("dup3_milli"))
+        dup(_unbound_shingles(toks, 2)).alias("dup2_milli"),
+        dup(_unbound_shingles(toks, 3)).alias("dup3_milli"))
     top = (docs.select("doc_id", F.explode(toks).alias("tok"))
            .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
            .groupBy("doc_id").agg(F.max("c").alias("top_c")))

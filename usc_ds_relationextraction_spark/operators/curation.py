@@ -286,7 +286,6 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
     w = (Window.partitionBy(stratum_col).orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     end = F.sum(n_tok).over(w)
-    start = (end - n_tok).alias("start_off")
     chunk = F.floor((end - n_tok) / budget).cast("bigint")
     last_chunk = F.when(n_tok > 0, F.floor((end - 1) / budget)) \
         .otherwise(chunk)

@@ -29,6 +29,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+# _let: the shared let-binding discipline (see functions/hof.py for the
+# full why — this module's pair generator was the original measured
+# pathology: six unbound `ems` references per (i, j) cell,
+# O(n²·tokens) per turn)
+from ..functions.hof import let as _let
 from ..functions.tokenize import _tag_one, pos_tags_col, tokens_col
 from ..operators.mentions import np_chunks_col, np_chunks_py
 from ..sources import synthetic as syn
@@ -83,22 +88,6 @@ def turn_pairs_udf():
     return _PAIRS_UDF_CACHE["pairs"]
 
 
-def _let(bound: Column, body) -> Column:
-    """Evaluate ``bound`` ONCE per row and pass it to ``body`` as a
-    higher-order-function lambda variable (a `let` binding via
-    transform-over-singleton-array).
-
-    Why this exists: CollapseProject merges ``withColumn`` chains, so a
-    column REFERENCE inside a HOF lambda is inlined as the full upstream
-    expression and re-evaluated interpreted at every reference — the
-    original pair generator referenced ``ems`` six times per (i, j) cell,
-    re-running tokenize→POS→chunk→annotate O(n²·tokens) times per turn
-    (measured: single tasks pinned for 10+ minutes at 175k turns; the
-    same logic over materialized columns ran in ~1 s).  A lambda
-    variable, unlike a column reference, is bound once — this pins the
-    evaluation count structurally instead of hoping the optimizer keeps
-    a projection boundary."""
-    return F.element_at(F.transform(F.array(bound), body), 1)
 
 
 def _terminal_positions(toks: str) -> Column:
