@@ -113,6 +113,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, sf, "documents"))
     Q["cur_pack_sequences"] = lambda s, sf: C.pack_sequences(
         _t(s, sf, "documents"))
+
+    def pack_chunks(s: SparkSession, sf: str) -> DataFrame:
+        """Packing-efficiency manifest: per (stratum, chunk) the count
+        of docs STARTING there, their total tokens, and how many
+        straddle into the next chunk — the report a packing job emits
+        (owning-chunk accounting: a straddler's tokens are counted
+        where it starts, so per-stratum token sums tie out exactly to
+        the corpus).  One partial-aggregated groupBy on
+        (stratum, chunk_id) over pack_sequences — no extra scan."""
+        p = C.pack_sequences(_t(s, sf, "documents"))
+        return (p.groupBy("stratum", "chunk_id")
+                .agg(F.count("*").cast("int").alias("n_docs"),
+                     F.sum("n_tok").cast("bigint").alias("n_tokens"),
+                     F.sum("straddle").cast("int").alias("n_straddle")))
+    Q["cur_pack_chunks"] = pack_chunks
     return Q
 
 
@@ -253,4 +268,10 @@ SELECT doc_id, source AS stratum, n_tok,
 FROM t
 WINDOW w AS (PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+    O["cur_pack_chunks"] = f"""SELECT stratum, chunk_id,
+       CAST(COUNT(*) AS INTEGER) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(straddle) AS INTEGER) AS n_straddle
+FROM ({O["cur_pack_sequences"]}) GROUP BY stratum, chunk_id"""
     return O
