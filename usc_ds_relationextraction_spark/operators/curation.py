@@ -203,11 +203,14 @@ def token_rarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``rarity_ppm = Σ f_ppm div n_tok``.
 
     Scale: pass 1 builds the corpus frequency table (one map-side-
-    combined groupBy on tokens — vocabulary-sized output); pass 2
-    broadcast-joins it back to the exploded corpus (vocabularies fit in
-    a broadcast even at 100 TB corpora; a Zipf head absorbs the skew in
-    the partial agg) and re-aggregates per doc.
+    combined groupBy on tokens — vocabulary-sized output; a Zipf head
+    absorbs into the partial agg); pass 2 joins it back to the exploded
+    corpus via the adaptive dim-join chooser (`operators/skew`):
+    curated vocabularies broadcast, but a raw 100 TB web vocabulary
+    (every typo is a token) can exceed any broadcast — above the probe
+    limit the chooser falls back to a plain equi-join under AQE.
     """
+    from .skew import adaptive_dim_join
     toks = (docs.select("doc_id", F.explode(ws_tokens(text_col))
                         .alias("tok")))
     freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
@@ -215,7 +218,7 @@ def token_rarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     f_ppm = (freq.crossJoin(F.broadcast(total))
              .select("tok", F.expr("(c * 1000000) div n_total")
                      .cast("bigint").alias("f_ppm")))
-    per_doc = (toks.join(F.broadcast(f_ppm), "tok")
+    per_doc = (adaptive_dim_join(toks, f_ppm, on=["tok"])
                .groupBy("doc_id")
                .agg(F.count("*").alias("n_tok"),
                     F.sum("f_ppm").alias("sum_ppm")))
