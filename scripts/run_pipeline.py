@@ -34,6 +34,10 @@ def main() -> None:
                     help="joint mode: RM nets + EM nets + TransE in one "
                          "epoch loop (reference retype.cpp:149-161)")
     ap.add_argument("--shuffle-partitions", type=int, default=32)
+    ap.add_argument("--curate", action="store_true",
+                    help="prepend the checkpointed PII-redaction "
+                         "curation stage (rewrites turn text, so the "
+                         "reference text-equality contract is waived)")
     args = ap.parse_args()
 
     # Inside spark-submit the session already exists; getOrCreate attaches.
@@ -72,7 +76,7 @@ def main() -> None:
                    f1=round(m["f1"], 4),
                    n_triples=res["triples"].count())
     else:
-        triples = pipe.run(turns, aliases, facts)
+        triples = pipe.run(turns, aliases, facts, curate=args.curate)
         out["n_triples"] = triples.count()
     out["stages"] = [m["stage"] for m in pipe.wh.metrics()]
     out["wall_s"] = round(time.time() - t0, 2)

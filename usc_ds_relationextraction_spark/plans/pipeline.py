@@ -38,6 +38,23 @@ class KGPipeline:
             spark.conf.get("spark.sql.shuffle.partitions"))
 
     # ------------------------------------------------------------- stages
+    def curated_turns(self, turns: DataFrame) -> DataFrame:
+        """Opt-in corpus-hygiene stage ahead of extraction: PII
+        redaction over the turn text (`operators/curation.PII_PATTERNS`,
+        applied globally in order), checkpointed like every stage so a
+        resume never re-scans the raw corpus.  OFF by default (`run(...,
+        curate=False)`): redaction rewrites text, and the per-turn
+        text-equality contract vs the reference holds only on raw turns.
+        Pure per-row regex — adds no shuffle ahead of `sentences`'s
+        repartition-by-range."""
+        def build():
+            from ..operators.curation import PII_PATTERNS
+            red = F.col("text")
+            for _, pat, repl in PII_PATTERNS:
+                red = F.regexp_replace(red, pat, repl)
+            return turns.withColumn("text", red)
+        return self.wh.ensure("turns_curated", build, bucket_hint="conv_id")
+
     def sentences(self, turns: DataFrame) -> DataFrame:
         def build():
             # repartition-by-range on conv_id (north_rule): co-locates a
@@ -204,7 +221,9 @@ class KGPipeline:
 
     # ------------------------------------------------------------ full run
     def run(self, turns: DataFrame, aliases: DataFrame,
-            facts: DataFrame) -> DataFrame:
+            facts: DataFrame, curate: bool = False) -> DataFrame:
+        if curate:
+            turns = self.curated_turns(turns)
         s = self.sentences(turns)
         c = self.candidates(s)
         e = self.entity_mentions(c, aliases)
