@@ -117,3 +117,28 @@ def test_pack_sequences_empty_doc(spark):
     out = {r["doc_id"]: r for r in C.pack_sequences(docs).collect()}
     assert (out[1]["n_tok"], out[1]["straddle"]) == (0, 0)
     assert out[1]["chunk_id"] == 1  # starts exactly at the boundary
+
+
+def test_gate_verdict_priority(spark):
+    """Drop priority duplicate > contaminated > language > quality >
+    repetition; PII never drops."""
+    rows = [
+        # doc, lang, q, canon, hits, top, dup3, pii
+        (0, "en", 500, 0, 1, 999, 999, 5),   # everything bad -> duplicate
+        (1, "en", 100, 1, 1, 999, 0, 0),     # no dup -> contaminated
+        (2, "fr", 100, 1, 0, 999, 0, 0),     # -> language
+        (3, "en", 100, 1, 0, 999, 0, 0),     # -> quality
+        (4, "en", 500, 1, 0, 151, 0, 0),     # -> repetition (top)
+        (5, "en", 500, 1, 0, 0, 151, 0),     # -> repetition (dup3)
+        (6, "en", 500, 1, 0, 150, 150, 7),   # PII alone never drops
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang_pred string,"
+                               " quality_milli bigint, is_canonical int,"
+                               " n_hits int, top_tok_milli bigint,"
+                               " dup3_milli bigint, pii_total int")
+    out = {r["doc_id"]: r for r in C.compose_gate_verdict(df).collect()}
+    expect = {0: "duplicate", 1: "contaminated", 2: "language",
+              3: "quality", 4: "repetition", 5: "repetition", 6: "kept"}
+    for d, reason in expect.items():
+        assert out[d]["drop_reason"] == reason, (d, out[d])
+        assert out[d]["keep"] == int(reason == "kept")

@@ -68,10 +68,14 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame,
     the gate stays exact.
 
     Scale: the eval side is benchmark-sized by construction, so its
-    distinct shingle set is broadcast and the train side never shuffles —
+    distinct shingle set broadcasts and the train side never shuffles —
     explode → broadcast semi-join → per-doc count is a narrow map +
-    partial agg on doc_id (already the scan partitioning).
+    partial agg on doc_id (already the scan partitioning).  The join
+    routes through the adaptive chooser anyway: an eval set that
+    outgrows broadcast degrades to a plain equi-join under AQE instead
+    of OOMing the driver.
     """
+    from .skew import adaptive_dim_join
     tr_toks = ws_tokens("text")
     # n_ngrams ≡ max(n_tok − (ngram−1), 0): no shingle build needed
     base = train.select("doc_id",
@@ -85,7 +89,7 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame,
              .select(F.explode(shingle_hashes(ws_tokens("text"), ngram))
                      .alias("sh"))
              .distinct())
-    hits = (tr_sh.join(F.broadcast(ev_sh), on="sh")
+    hits = (adaptive_dim_join(tr_sh, ev_sh, on=["sh"])
             .groupBy("doc_id")
             .agg(F.count("*").cast("int").alias("n_hits")))
     return (base.join(hits, on="doc_id", how="left")
@@ -264,6 +268,38 @@ def stratified_sample(docs: DataFrame,
             .where(F.col("draw") < F.col("rate_milli"))
             .select("doc_id", "stratum", "rate_milli",
                     F.col("draw").cast("int").alias("draw")))
+
+
+# ---------------------------------------------------------------------------
+# extended gate verdict
+
+GATE_REP_MILLI = 150
+GATE_QUALITY_MIN = 450
+GATE_LANG = "en"
+
+
+def compose_gate_verdict(j: DataFrame) -> DataFrame:
+    """The extended-gate verdict over a joined signal row
+    ``(doc_id, lang_pred, quality_milli, is_canonical, n_hits,
+    top_tok_milli, dup3_milli, pii_total)`` — drop priority
+    duplicate > contaminated > language > quality > repetition; PII
+    never drops (it reports for downstream redaction).  Pure row-local
+    projection; factored out so the priority order is unit-testable
+    apart from the corpus-scale composition (`cur_corpus_gate`)."""
+    dup = F.col("is_canonical") == 0
+    cont = F.col("n_hits") > 0
+    bad_lang = F.col("lang_pred") != GATE_LANG
+    low_q = F.col("quality_milli") < GATE_QUALITY_MIN
+    rep_bad = (F.col("top_tok_milli") > GATE_REP_MILLI) | \
+        (F.col("dup3_milli") > GATE_REP_MILLI)
+    reason = (F.when(dup, "duplicate").when(cont, "contaminated")
+              .when(bad_lang, "language").when(low_q, "quality")
+              .when(rep_bad, "repetition").otherwise("kept"))
+    return j.select(
+        "doc_id", "lang_pred", "quality_milli", "is_canonical",
+        "n_hits", "top_tok_milli", "dup3_milli", "pii_total",
+        (~(dup | cont | bad_lang | low_q | rep_bad)).cast("int")
+        .alias("keep"), reason.alias("drop_reason"))
 
 
 # ---------------------------------------------------------------------------

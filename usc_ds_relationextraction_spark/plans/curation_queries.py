@@ -46,10 +46,6 @@ def _sql_pii_aug() -> str:
             f"{parts} AS text FROM documents)")
 
 
-# repetition gate threshold (milli): corpus-calibrated — sf0.01
-# top_tok_milli p90 is 139, so 150 drops the genuinely repetitive tail
-GATE_REP_MILLI = 150
-
 # ---------------------------------------------------------------------------
 # queries
 
@@ -87,20 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "pii_total")
         j = (base.join(dec, "doc_id").join(rep, "doc_id")
              .join(pii_df, "doc_id"))
-        dup = F.col("is_canonical") == 0
-        cont = F.col("n_hits") > 0
-        bad_lang = F.col("lang_pred") != "en"
-        low_q = F.col("quality_milli") < 450
-        rep_bad = (F.col("top_tok_milli") > GATE_REP_MILLI) | \
-            (F.col("dup3_milli") > GATE_REP_MILLI)
-        reason = (F.when(dup, "duplicate").when(cont, "contaminated")
-                  .when(bad_lang, "language").when(low_q, "quality")
-                  .when(rep_bad, "repetition").otherwise("kept"))
-        return j.select(
-            "doc_id", "lang_pred", "quality_milli", "is_canonical",
-            "n_hits", "top_tok_milli", "dup3_milli", "pii_total",
-            (~(dup | cont | bad_lang | low_q | rep_bad)).cast("int")
-            .alias("keep"), reason.alias("drop_reason"))
+        return C.compose_gate_verdict(j)
 
     Q["cur_decontam"] = decontam
     Q["cur_pii_scrub"] = pii
@@ -236,7 +219,7 @@ WHERE draw < rate_milli"""
     # composition can never drift from its parts
     from .extended_queries import oracles as _ext_oracles
     base_sql = _ext_oracles()["corpus_filter"]
-    g = GATE_REP_MILLI
+    g = C.GATE_REP_MILLI  # corpus-calibrated: sf0.01 top_tok p90=139
     O["cur_corpus_gate"] = f"""SELECT b.doc_id, b.lang_pred,
   b.quality_milli, b.is_canonical, d.n_hits, r.top_tok_milli,
   r.dup3_milli, p.pii_total,
