@@ -152,7 +152,27 @@ def run_level(cores: int) -> float:
                 "conv_id", "turn_idx").distinct()
         return tri
 
-    job = feature_stage if STAGE == "features" else pipeline
+    def curation_stage():
+        """Round-5 curation family over the turn corpus (turns AS docs:
+        doc_id = h64(conv_id, turn_idx), stratum = role): repetition
+        metrics ⋈ PII metrics ⋈ stratified-sample flag — the pure-JVM
+        corpus-hygiene mix (row-local let-bound HOFs + one
+        map-side-combined groupBy + stateless filters)."""
+        from usc_ds_relationextraction_spark.functions.hashing import h64
+        from usc_ds_relationextraction_spark.operators import curation as C
+        t = spark.read.parquet(CORPUS)
+        docs = t.select(
+            h64(F.concat_ws("\x1f", "conv_id", "turn_idx"))
+            .alias("doc_id"),
+            "text", F.col("role").alias("source"))
+        rep = C.repetition_metrics(docs)
+        pii = C.pii_metrics(docs)
+        smp = C.stratified_sample(docs).select("doc_id", "rate_milli")
+        return (rep.join(pii, "doc_id")
+                .join(smp, "doc_id", "left"))
+
+    job = (feature_stage if STAGE == "features"
+           else curation_stage if STAGE == "curation" else pipeline)
     # warm-up (JIT, code cache) then timed repeats
     job().write.mode("overwrite").format("noop").save()
     best = float("inf")
