@@ -5,6 +5,7 @@ agreement; these pin the semantics."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from usc_ds_relationextraction_spark.operators import curation as C
 
@@ -142,3 +143,25 @@ def test_gate_verdict_priority(spark):
     for d, reason in expect.items():
         assert out[d]["drop_reason"] == reason, (d, out[d])
         assert out[d]["keep"] == int(reason == "kept")
+
+
+def test_pack_shuffled_permutes_but_conserves(spark):
+    """Shuffled packing: same per-stratum token mass and chunk count as
+    ordered packing, different (deterministic) doc order."""
+    docs = _docs(spark, [(i, " ".join(["t"] * (10 + i % 7)), "s")
+                         for i in range(40)])
+    a = C.pack_sequences(docs)
+    b = C.pack_sequences(docs, shuffled=True)
+    tot = lambda df: df.groupBy().sum("n_tok").collect()[0][0]
+    assert tot(a) == tot(b)
+    amax = a.groupBy().max("chunk_id").collect()[0][0]
+    bmax = b.groupBy().max("chunk_id").collect()[0][0]
+    assert amax == bmax  # same budget, same mass -> same chunk count
+    # the permutation is real: some doc gets a different start offset
+    j = (a.select("doc_id", "start_off")
+         .join(b.select("doc_id", F.col("start_off").alias("s2")),
+               "doc_id"))
+    assert j.where("start_off <> s2").count() > 0
+    # and deterministic across partitionings
+    c = C.pack_sequences(docs.repartition(5), shuffled=True)
+    assert b.exceptAll(c).count() == 0 and c.exceptAll(b).count() == 0

@@ -309,12 +309,19 @@ PACK_BUDGET = 128
 
 
 def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
-                   stratum_col: str = "source") -> DataFrame:
+                   stratum_col: str = "source",
+                   shuffled: bool = False) -> DataFrame:
     """Concat-and-chunk packing: within each stratum, documents are
     concatenated in ``doc_id`` order and the token stream is cut every
     ``budget`` tokens (the standard LLM pre-training packing).  Each doc
     reports its start offset, owning chunk, and whether it straddles a
     chunk boundary.
+
+    ``shuffled=True`` orders the stream by a deterministic md5 key
+    instead of ``doc_id`` — the standard shuffle-then-chunk (adjacent
+    corpus docs should not land in the same context window); md5, not
+    ``rand()``, so the permutation is partition-count independent and
+    resume-safe, like every other draw in the engine.
 
     One running-sum window per stratum (``rows unbounded preceding``) —
     at corpus scale partition the stream finer ((source, shard)) so each
@@ -322,7 +329,10 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
     depends only on the prefix sum within the stratum.
     """
     n_tok = F.size(ws_tokens("text")).cast("bigint")
-    w = (Window.partitionBy(stratum_col).orderBy("doc_id")
+    order = (h64(F.concat(F.lit("pack|"),
+                          F.col("doc_id").cast("string")))
+             if shuffled else F.col("doc_id"))
+    w = (Window.partitionBy(stratum_col).orderBy(order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     end = F.sum(n_tok).over(w)
     chunk = F.floor((end - n_tok) / budget).cast("bigint")

@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, sf, "documents"))
     Q["cur_pack_sequences"] = lambda s, sf: C.pack_sequences(
         _t(s, sf, "documents"))
+    Q["cur_pack_shuffled"] = lambda s, sf: C.pack_sequences(
+        _t(s, sf, "documents"), shuffled=True)
 
     def pack_chunks(s: SparkSession, sf: str) -> DataFrame:
         """Packing-efficiency manifest: per (stratum, chunk) the count
@@ -251,6 +253,11 @@ SELECT doc_id, source AS stratum, n_tok,
 FROM t
 WINDOW w AS (PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+    from ..functions.hashing import h64_duckdb
+    h_pack = h64_duckdb("'pack|' || CAST(doc_id AS VARCHAR)")
+    O["cur_pack_shuffled"] = O["cur_pack_sequences"].replace(
+        "ORDER BY doc_id", f"ORDER BY {h_pack}")
 
     O["cur_pack_chunks"] = f"""SELECT stratum, chunk_id,
        CAST(COUNT(*) AS INTEGER) AS n_docs,
