@@ -85,9 +85,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .join(pii_df, "doc_id"))
         return C.compose_gate_verdict(j)
 
+    def gate_stats(s: SparkSession, sf: str) -> DataFrame:
+        """Per-drop-reason accounting over the extended gate — docs,
+        contaminated-n-gram hits, and PII instances per verdict class
+        (the filtering job's budget report, `corpus_filter_stats`'s
+        sibling for the extended gate).  One partial-aggregated groupBy
+        on a 6-value key."""
+        return (corpus_gate(s, sf).groupBy("drop_reason")
+                .agg(F.count("*").cast("bigint").alias("n_docs"),
+                     F.sum("n_hits").cast("bigint").alias("n_contam_hits"),
+                     F.sum("pii_total").cast("bigint").alias("n_pii")))
+
     Q["cur_decontam"] = decontam
     Q["cur_pii_scrub"] = pii
     Q["cur_corpus_gate"] = corpus_gate
+    Q["cur_gate_stats"] = gate_stats
     Q["cur_repetition"] = lambda s, sf: C.repetition_metrics(
         _t(s, sf, "documents"))
     Q["cur_token_rarity"] = lambda s, sf: C.token_rarity(
@@ -253,6 +265,12 @@ SELECT doc_id, source AS stratum, n_tok,
 FROM t
 WINDOW w AS (PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+    O["cur_gate_stats"] = f"""SELECT drop_reason,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_hits) AS BIGINT) AS n_contam_hits,
+       CAST(SUM(pii_total) AS BIGINT) AS n_pii
+FROM ({O["cur_corpus_gate"]}) GROUP BY drop_reason"""
 
     from ..functions.hashing import h64_duckdb
     h_pack = h64_duckdb("'pack|' || CAST(doc_id AS VARCHAR)")
