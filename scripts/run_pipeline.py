@@ -37,7 +37,10 @@ def main() -> None:
     ap.add_argument("--curate", action="store_true",
                     help="prepend the checkpointed PII-redaction "
                          "curation stage (rewrites turn text, so the "
-                         "reference text-equality contract is waived)")
+                         "reference text-equality contract is waived; "
+                         "checkpoints land in <warehouse>_curated so "
+                         "raw and curated runs never share stages — "
+                         "applies to --learned runs too)")
     args = ap.parse_args()
 
     # Inside spark-submit the session already exists; getOrCreate attaches.
@@ -64,7 +67,8 @@ def main() -> None:
     brown = {r["word"]: r["cluster"] for r in brown_df.collect()}
 
     pipe = KGPipeline(spark, args.warehouse,
-                      partitions=args.shuffle_partitions)
+                      partitions=args.shuffle_partitions,
+                      curate=args.curate)
     out: dict = {"sf_dir": args.sf_dir, "warehouse": args.warehouse}
     if args.learned:
         res = pipe.run_learned(turns, aliases, facts, brown,
@@ -76,7 +80,7 @@ def main() -> None:
                    f1=round(m["f1"], 4),
                    n_triples=res["triples"].count())
     else:
-        triples = pipe.run(turns, aliases, facts, curate=args.curate)
+        triples = pipe.run(turns, aliases, facts)
         out["n_triples"] = triples.count()
     out["stages"] = [m["stage"] for m in pipe.wh.metrics()]
     out["wall_s"] = round(time.time() - t0, 2)

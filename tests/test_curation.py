@@ -154,9 +154,8 @@ def test_pack_shuffled_permutes_but_conserves(spark):
     b = C.pack_sequences(docs, shuffled=True)
     tot = lambda df: df.groupBy().sum("n_tok").collect()[0][0]
     assert tot(a) == tot(b)
-    amax = a.groupBy().max("chunk_id").collect()[0][0]
-    bmax = b.groupBy().max("chunk_id").collect()[0][0]
-    assert amax == bmax  # same budget, same mass -> same chunk count
+    # NOTE: max chunk_id is NOT order-invariant (it depends on which doc
+    # the ordering places last), so only token mass is asserted equal
     # the permutation is real: some doc gets a different start offset
     j = (a.select("doc_id", "start_off")
          .join(b.select("doc_id", F.col("start_off").alias("s2")),

@@ -67,15 +67,16 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame,
     over-flags one n-gram; the DuckDB twin computes identical hashes so
     the gate stays exact.
 
-    Scale: the eval side is benchmark-sized by construction, so its
-    distinct shingle set broadcasts and the train side never shuffles —
-    explode → broadcast semi-join → per-doc count is a narrow map +
-    partial agg on doc_id (already the scan partitioning).  The join
-    routes through the adaptive chooser anyway: an eval set that
-    outgrows broadcast degrades to a plain equi-join under AQE instead
-    of OOMing the driver.
+    Scale: the eval side is benchmark-sized BY CONTRACT (a benchmark
+    suite, not a second corpus), so its distinct shingle set is
+    broadcast and the train side never shuffles — explode → broadcast
+    semi-join → per-doc count is a narrow map + partial agg on doc_id
+    (already the scan partitioning).  The adaptive probe chooser is
+    deliberately NOT used here: its bounded ``limit(N+1).count()`` probe
+    sits above a distinct() and would run the full eval dedup eagerly at
+    DataFrame-construction time; for an explicitly-contracted small side
+    the static hint is the right tool.
     """
-    from .skew import adaptive_dim_join
     tr_toks = ws_tokens("text")
     # n_ngrams ≡ max(n_tok − (ngram−1), 0): no shingle build needed
     base = train.select("doc_id",
@@ -89,7 +90,7 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame,
              .select(F.explode(shingle_hashes(ws_tokens("text"), ngram))
                      .alias("sh"))
              .distinct())
-    hits = (adaptive_dim_join(tr_sh, ev_sh, on=["sh"])
+    hits = (tr_sh.join(F.broadcast(ev_sh), on="sh")
             .groupBy("doc_id")
             .agg(F.count("*").cast("int").alias("n_hits")))
     return (base.join(hits, on="doc_id", how="left")
@@ -116,6 +117,18 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def redact_pii(col: Column) -> Column:
+    """Apply every ``PII_PATTERNS`` replacement in order, each global —
+    THE one definition of redaction, shared by :func:`pii_metrics` (which
+    proves it via ``redacted_md5``) and the pipeline's ``turns_curated``
+    stage (which ships it).  NULL input stays NULL (redaction never
+    invents text); callers wanting the empty-string contract coalesce
+    first, as ``pii_metrics`` does."""
+    for _, pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
 def pii_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc PII hit counts + md5 of the redacted text.
 
@@ -129,14 +142,12 @@ def pii_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     aug = F.coalesce(F.col(text_col), F.lit(""))
     sel: list[Column] = [F.col("doc_id")]
     total = None
-    red = aug
-    for name, pat, repl in PII_PATTERNS:
+    for name, pat, _ in PII_PATTERNS:
         n = F.size(F.regexp_extract_all(aug, F.lit(pat), F.lit(0)))
         sel.append(n.cast("int").alias(f"n_{name}"))
         total = n if total is None else total + n
-        red = F.regexp_replace(red, pat, repl)
     sel.append(total.cast("int").alias("pii_total"))
-    sel.append(F.md5(red).alias("redacted_md5"))
+    sel.append(F.md5(redact_pii(aug)).alias("redacted_md5"))
     return docs.select(*sel)
 
 
@@ -209,12 +220,16 @@ def token_rarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Scale: pass 1 builds the corpus frequency table (one map-side-
     combined groupBy on tokens — vocabulary-sized output; a Zipf head
     absorbs into the partial agg); pass 2 joins it back to the exploded
-    corpus via the adaptive dim-join chooser (`operators/skew`):
-    curated vocabularies broadcast, but a raw 100 TB web vocabulary
-    (every typo is a token) can exceed any broadcast — above the probe
-    limit the chooser falls back to a plain equi-join under AQE.
+    corpus as a PLAIN equi-join and lets AQE pick the physical strategy
+    from the aggregate's RUNTIME size — a curated vocabulary converts to
+    a broadcast join dynamically, while a raw 100 TB web vocabulary
+    (every typo is a token) shuffle-joins.  Neither a static
+    ``F.broadcast`` hint (OOM risk on the unbounded vocab) nor the
+    probe-based chooser (its ``limit(N+1).count()`` probe above the
+    aggregation would run the full frequency pass eagerly at
+    construction time, then again at execution) is appropriate here —
+    AQE's dynamic join selection is exactly this case.
     """
-    from .skew import adaptive_dim_join
     toks = (docs.select("doc_id", F.explode(ws_tokens(text_col))
                         .alias("tok")))
     freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
@@ -222,7 +237,7 @@ def token_rarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     f_ppm = (freq.crossJoin(F.broadcast(total))
              .select("tok", F.expr("(c * 1000000) div n_total")
                      .cast("bigint").alias("f_ppm")))
-    per_doc = (adaptive_dim_join(toks, f_ppm, on=["tok"])
+    per_doc = (toks.join(f_ppm, "tok")
                .groupBy("doc_id")
                .agg(F.count("*").alias("n_tok"),
                     F.sum("f_ppm").alias("sum_ppm")))
@@ -321,7 +336,11 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
     instead of ``doc_id`` — the standard shuffle-then-chunk (adjacent
     corpus docs should not land in the same context window); md5, not
     ``rand()``, so the permutation is partition-count independent and
-    resume-safe, like every other draw in the engine.
+    resume-safe, like every other draw in the engine.  ``doc_id`` is the
+    explicit tie-break: on a (2⁻⁶⁰) hash collision an un-tiebroken sort
+    is arbitrary per engine/run, and every offset after the tie would
+    diverge — unlike the engine's other collision cases, which err
+    identically on both sides.
 
     One running-sum window per stratum (``rows unbounded preceding``) —
     at corpus scale partition the stream finer ((source, shard)) so each
@@ -329,10 +348,10 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
     depends only on the prefix sum within the stratum.
     """
     n_tok = F.size(ws_tokens("text")).cast("bigint")
-    order = (h64(F.concat(F.lit("pack|"),
-                          F.col("doc_id").cast("string")))
-             if shuffled else F.col("doc_id"))
-    w = (Window.partitionBy(stratum_col).orderBy(order)
+    order = ([h64(F.concat(F.lit("pack|"),
+                           F.col("doc_id").cast("string"))), "doc_id"]
+             if shuffled else [F.col("doc_id")])
+    w = (Window.partitionBy(stratum_col).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     end = F.sum(n_tok).over(w)
     chunk = F.floor((end - n_tok) / budget).cast("bigint")

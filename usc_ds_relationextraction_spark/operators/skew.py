@@ -68,7 +68,13 @@ def adaptive_dim_join(
     The dim-size probe is a bounded job: ``limit(N+1).count()`` scans at
     most N+1 rows whatever the dimension's true size — and is memoized
     per analyzed plan, so rebuilding the same query pays it once per
-    process, not once per join construction.
+    process, not once per join construction.  CAVEATS: (a) the probe is
+    bounded only when the dimension is a scan/filter chain — a limit
+    ABOVE an aggregation still executes the full aggregation, so don't
+    route aggregate-built dims through here (token_rarity's frequency
+    table uses a plain join + AQE dynamic selection instead); (b)
+    ``big_unique`` is required if escalation to the salted join (case 3)
+    is reachable — see :func:`salted_join`.
     """
     try:
         key = (dim._jdf.queryExecution().analyzed().semanticHash(),
@@ -101,12 +107,19 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with salted keys; drops the salt column on the way out.
 
-    ``big_unique`` defaults to the concat of the join keys plus a uniform
-    spread over all big-side columns is unnecessary — any row-level key
-    works; callers pass their natural unique key (e.g. mention_key).
+    ``big_unique`` is REQUIRED to be a row-level (or at least
+    finer-than-join-key) expression: a salt derived from the join key
+    alone gives every row of a hot key the identical salt — the hot
+    partition is not split at all while the dim side still pays the ×S
+    replication, strictly worse than a plain join.  Callers pass their
+    natural row key (e.g. mention_key).
     """
     if big_unique is None:
-        big_unique = F.concat_ws("\x1f", *[F.col(c) for c in on])
+        raise ValueError(
+            "salted_join requires big_unique: deriving the salt from the "
+            "join keys alone is a no-op against skew (every row of a hot "
+            "key gets the same salt) while still paying the dim-side "
+            "explode — pass a row-level key expression")
     b = with_salt(big, big_unique, n_salts)
     s = explode_salts(small, n_salts)
     if broadcast_small:

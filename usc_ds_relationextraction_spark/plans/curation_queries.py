@@ -237,13 +237,15 @@ WHERE draw < rate_milli"""
     O["cur_corpus_gate"] = f"""SELECT b.doc_id, b.lang_pred,
   b.quality_milli, b.is_canonical, d.n_hits, r.top_tok_milli,
   r.dup3_milli, p.pii_total,
-  CAST(b.is_canonical = 1 AND d.n_hits = 0 AND b.lang_pred = 'en'
-       AND b.quality_milli >= 450 AND r.top_tok_milli <= {g}
+  CAST(b.is_canonical = 1 AND d.n_hits = 0
+       AND b.lang_pred = '{C.GATE_LANG}'
+       AND b.quality_milli >= {C.GATE_QUALITY_MIN}
+       AND r.top_tok_milli <= {g}
        AND r.dup3_milli <= {g} AS INTEGER) AS keep,
   CASE WHEN b.is_canonical = 0 THEN 'duplicate'
        WHEN d.n_hits > 0 THEN 'contaminated'
-       WHEN b.lang_pred <> 'en' THEN 'language'
-       WHEN b.quality_milli < 450 THEN 'quality'
+       WHEN b.lang_pred <> '{C.GATE_LANG}' THEN 'language'
+       WHEN b.quality_milli < {C.GATE_QUALITY_MIN} THEN 'quality'
        WHEN r.top_tok_milli > {g} OR r.dup3_milli > {g}
             THEN 'repetition'
        ELSE 'kept' END AS drop_reason
@@ -252,8 +254,13 @@ JOIN ({O["cur_decontam"]}) d ON b.doc_id = d.doc_id
 JOIN ({O["cur_repetition"]}) r ON b.doc_id = r.doc_id
 JOIN ({O["cur_pii_scrub"]}) p ON b.doc_id = p.doc_id"""
 
-    b = C.PACK_BUDGET
-    O["cur_pack_sequences"] = f"""WITH {_sql_doc_toks()},
+    def _pack_sql(order_expr: str) -> str:
+        """The ONE pack-oracle template — ordered and shuffled variants
+        differ only in the window's ORDER BY (a blind string-replace
+        here once risked corrupting silently when the base SQL
+        changed)."""
+        b = C.PACK_BUDGET
+        return f"""WITH {_sql_doc_toks()},
 t AS (SELECT d.doc_id, s.source, CAST(len(d.toks) AS BIGINT) AS n_tok
       FROM doc_toks d JOIN documents s USING (doc_id))
 SELECT doc_id, source AS stratum, n_tok,
@@ -263,8 +270,10 @@ SELECT doc_id, source AS stratum, n_tok,
        <> floor((SUM(n_tok) OVER w - n_tok) / {b}) AS INTEGER)
        ELSE 0 END AS straddle
 FROM t
-WINDOW w AS (PARTITION BY source ORDER BY doc_id
+WINDOW w AS (PARTITION BY source ORDER BY {order_expr}
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+    O["cur_pack_sequences"] = _pack_sql("doc_id")
 
     O["cur_gate_stats"] = f"""SELECT drop_reason,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -273,9 +282,9 @@ WINDOW w AS (PARTITION BY source ORDER BY doc_id
 FROM ({O["cur_corpus_gate"]}) GROUP BY drop_reason"""
 
     from ..functions.hashing import h64_duckdb
-    h_pack = h64_duckdb("'pack|' || CAST(doc_id AS VARCHAR)")
-    O["cur_pack_shuffled"] = O["cur_pack_sequences"].replace(
-        "ORDER BY doc_id", f"ORDER BY {h_pack}")
+    # doc_id tie-break mirrors the Spark side (collision determinism)
+    O["cur_pack_shuffled"] = _pack_sql(
+        h64_duckdb("'pack|' || CAST(doc_id AS VARCHAR)") + ", doc_id")
 
     O["cur_pack_chunks"] = f"""SELECT stratum, chunk_id,
        CAST(COUNT(*) AS INTEGER) AS n_docs,

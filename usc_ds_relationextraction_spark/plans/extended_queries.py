@@ -18,6 +18,10 @@ from ..functions.text_analysis import (BPE_RE, LANGS, STOPWORDS,
                                        lang_id, quality_metrics,
                                        token_counts)
 from ..operators import dedup, multimodal, similarity
+# gate thresholds are single-sourced in operators/curation.py: the base
+# corpus_filter verdict, the extended cur_corpus_gate (which re-derives
+# keep from raw columns), and both DuckDB twins must agree on them
+from ..operators.curation import GATE_LANG, GATE_QUALITY_MIN
 
 EMB_DIM = 64
 N_BITS_SIMHASH = 16
@@ -69,8 +73,8 @@ def cluster_canonical_docs(docs: DataFrame,
 
 def corpus_filter_verdicts(docs: DataFrame, *,
                            min_jaccard_milli: int = 200,
-                           quality_min: int = 450,
-                           keep_lang: str = "en") -> DataFrame:
+                           quality_min: int = GATE_QUALITY_MIN,
+                           keep_lang: str = GATE_LANG) -> DataFrame:
     """The end-to-end pretraining-corpus gate: per document a keep/drop
     verdict composing the whole pipeline — duplicate-cluster
     canonicalization (keep one copy per near-dup group), language ID,
@@ -587,11 +591,11 @@ qs AS (
   FROM qm2)
 SELECT c.doc_id, lp.lang_pred, qs.quality_milli, qs.ws_tokens,
        c.canonical_doc_id, c.is_canonical,
-       CAST(c.is_canonical = 1 AND lp.lang_pred = 'en'
-            AND qs.quality_milli >= 450 AS INT) AS keep,
+       CAST(c.is_canonical = 1 AND lp.lang_pred = '{GATE_LANG}'
+            AND qs.quality_milli >= {GATE_QUALITY_MIN} AS INT) AS keep,
        CASE WHEN c.is_canonical = 0 THEN 'duplicate'
-            WHEN lp.lang_pred <> 'en' THEN 'language'
-            WHEN qs.quality_milli < 450 THEN 'quality'
+            WHEN lp.lang_pred <> '{GATE_LANG}' THEN 'language'
+            WHEN qs.quality_milli < {GATE_QUALITY_MIN} THEN 'quality'
             ELSE 'kept' END AS drop_reason
 FROM canon c JOIN lp ON c.doc_id = lp.doc_id
              JOIN qs ON c.doc_id = qs.doc_id

@@ -29,9 +29,18 @@ from ..sources.catalog import Warehouse
 class KGPipeline:
     def __init__(self, spark: SparkSession, warehouse_dir: str,
                  n_salts: int = 8, use_pandas_udfs: bool = True,
-                 partitions: int | None = None):
+                 partitions: int | None = None, curate: bool = False):
         self.spark = spark
-        self.wh = Warehouse(spark, warehouse_dir)
+        # curate is a CONSTRUCTOR flag, not a run() parameter, and it
+        # suffixes the warehouse root: every downstream stage's
+        # checkpoint is derived from (possibly redacted) text, so a raw
+        # and a curated run must never share 'sentences'/... tables —
+        # with a shared namespace, toggling the flag against an existing
+        # warehouse would silently resume stale raw-derived stages (and
+        # the learned path would ignore the flag entirely).
+        self.curate = curate
+        self.wh = Warehouse(spark, warehouse_dir +
+                            ("_curated" if curate else ""))
         self.n_salts = n_salts
         self.use_pandas_udfs = use_pandas_udfs
         self.partitions = partitions or int(
@@ -42,17 +51,15 @@ class KGPipeline:
         """Opt-in corpus-hygiene stage ahead of extraction: PII
         redaction over the turn text (`operators/curation.PII_PATTERNS`,
         applied globally in order), checkpointed like every stage so a
-        resume never re-scans the raw corpus.  OFF by default (`run(...,
-        curate=False)`): redaction rewrites text, and the per-turn
+        resume never re-scans the raw corpus.  OFF by default
+        (constructor flag ``curate=False``, which also namespaces the
+        warehouse): redaction rewrites text, and the per-turn
         text-equality contract vs the reference holds only on raw turns.
         Pure per-row regex — adds no shuffle ahead of `sentences`'s
         repartition-by-range."""
         def build():
-            from ..operators.curation import PII_PATTERNS
-            red = F.col("text")
-            for _, pat, repl in PII_PATTERNS:
-                red = F.regexp_replace(red, pat, repl)
-            return turns.withColumn("text", red)
+            from ..operators.curation import redact_pii
+            return turns.withColumn("text", redact_pii(F.col("text")))
         return self.wh.ensure("turns_curated", build, bucket_hint="conv_id")
 
     def sentences(self, turns: DataFrame) -> DataFrame:
@@ -221,8 +228,8 @@ class KGPipeline:
 
     # ------------------------------------------------------------ full run
     def run(self, turns: DataFrame, aliases: DataFrame,
-            facts: DataFrame, curate: bool = False) -> DataFrame:
-        if curate:
+            facts: DataFrame) -> DataFrame:
+        if self.curate:
             turns = self.curated_turns(turns)
         s = self.sentences(turns)
         c = self.candidates(s)
